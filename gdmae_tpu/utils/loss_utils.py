@@ -1,0 +1,210 @@
+"""Loss functions (pure jnp, no reduction unless stated).
+
+TPU-native counterpart of reference pcdet/utils/loss_utils.py. All losses are
+plain functions over jnp arrays so they jit/grad cleanly; "classes" carrying
+code_weights etc. are thin callables configured at build time.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import box_utils
+
+
+def sigmoid_cross_entropy_with_logits(logits, targets):
+    """Numerically stable BCE-with-logits: max(x,0) - x*z + log1p(exp(-|x|))."""
+    return jnp.clip(logits, 0, None) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+class SigmoidFocalClassificationLoss:
+    """Sigmoid focal loss (reference loss_utils.py:10-75)."""
+
+    def __init__(self, gamma: float = 2.0, alpha: float = 0.25):
+        self.gamma = gamma
+        self.alpha = alpha
+
+    def __call__(self, logits, targets, weights):
+        """logits/targets: (B, A, C); weights: (B, A) -> loss (B, A, C)."""
+        pred_sigmoid = jax.nn.sigmoid(logits)
+        alpha_weight = targets * self.alpha + (1 - targets) * (1 - self.alpha)
+        pt = targets * (1.0 - pred_sigmoid) + (1.0 - targets) * pred_sigmoid
+        focal_weight = alpha_weight * jnp.power(pt, self.gamma)
+        bce = sigmoid_cross_entropy_with_logits(logits, targets)
+        loss = focal_weight * bce
+        if weights.ndim == loss.ndim - 1:
+            weights = weights[..., None]
+        return loss * weights
+
+
+def smooth_l1(diff, beta):
+    if beta < 1e-5:
+        return jnp.abs(diff)
+    n = jnp.abs(diff)
+    return jnp.where(n < beta, 0.5 * n * n / beta, n - 0.5 * beta)
+
+
+class WeightedSmoothL1Loss:
+    """Code-wise weighted smooth-L1 (reference loss_utils.py:78-143)."""
+
+    def __init__(self, beta: float = 1.0 / 9.0, code_weights=None):
+        self.beta = beta
+        self.code_weights = None if code_weights is None else jnp.asarray(
+            np.array(code_weights, dtype=np.float32))
+
+    def __call__(self, inputs, targets, weights=None):
+        targets = jnp.where(jnp.isnan(targets), inputs, targets)
+        diff = inputs - targets
+        if self.code_weights is not None:
+            diff = diff * self.code_weights
+        loss = smooth_l1(diff, self.beta)
+        if weights is not None:
+            if weights.ndim == loss.ndim - 1:
+                weights = weights[..., None]
+            loss = loss * weights
+        return loss
+
+
+class WeightedL1Loss:
+    def __init__(self, code_weights=None):
+        self.code_weights = None if code_weights is None else jnp.asarray(
+            np.array(code_weights, dtype=np.float32))
+
+    def __call__(self, inputs, targets, weights=None):
+        targets = jnp.where(jnp.isnan(targets), inputs, targets)
+        diff = inputs - targets
+        if self.code_weights is not None:
+            diff = diff * self.code_weights
+        loss = jnp.abs(diff)
+        if weights is not None:
+            if weights.ndim == loss.ndim - 1:
+                weights = weights[..., None]
+            loss = loss * weights
+        return loss
+
+
+class WeightedBinaryCrossEntropyLoss:
+    def __call__(self, logits, targets, weights):
+        loss = sigmoid_cross_entropy_with_logits(logits, targets).mean(axis=-1)
+        return loss * weights
+
+
+class WeightedCrossEntropyLoss:
+    """Softmax CE over one-hot targets with anchor-wise weights
+    (reference loss_utils.py:213-238)."""
+
+    def __call__(self, logits, targets, weights):
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        loss = -(targets * log_probs).sum(axis=-1)
+        return loss * weights
+
+
+def get_corner_loss_lidar(pred_bbox3d, gt_bbox3d, p=2):
+    """Corner alignment loss with heading-flip tolerance
+    (reference loss_utils.get_corner_loss_lidar:241-273). Returns (N,)."""
+    pred_corners = box_utils.boxes_to_corners_3d(pred_bbox3d)
+    gt_corners = box_utils.boxes_to_corners_3d(gt_bbox3d)
+    gt_flip = jnp.concatenate([gt_bbox3d[:, :6], gt_bbox3d[:, 6:7] + np.pi], axis=-1)
+    gt_corners_flip = box_utils.boxes_to_corners_3d(gt_flip)
+    if p == 2:
+        dist = jnp.minimum(
+            jnp.linalg.norm(pred_corners - gt_corners, axis=2),
+            jnp.linalg.norm(pred_corners - gt_corners_flip, axis=2),
+        )
+        corner_loss = smooth_l1(dist, beta=1.0)
+    else:
+        l1 = smooth_l1(pred_corners - gt_corners, beta=1.0).sum(axis=2)
+        l1f = smooth_l1(pred_corners - gt_corners_flip, beta=1.0).sum(axis=2)
+        corner_loss = jnp.minimum(l1, l1f)
+    return corner_loss.mean(axis=1)
+
+
+def neg_loss_cornernet(pred, gt, mask=None):
+    """CenterNet gaussian focal loss (reference loss_utils.py:276-311).
+
+    Args:
+        pred: (B, C, H, W) sigmoid scores in (0, 1)
+        gt: (B, C, H, W) gaussian heatmap targets
+        mask: optional (B, H, W)
+    Returns scalar.
+    """
+    eps = 1e-6
+    pred = jnp.clip(pred, eps, 1 - eps)
+    pos_inds = (gt >= 1.0).astype(pred.dtype)
+    neg_inds = (gt < 1.0).astype(pred.dtype)
+    neg_weights = jnp.power(1 - gt, 4)
+    pos_loss = jnp.log(pred) * jnp.power(1 - pred, 2) * pos_inds
+    neg_loss = jnp.log(1 - pred) * jnp.power(pred, 2) * neg_weights * neg_inds
+    if mask is not None:
+        m = mask[:, None, :, :].astype(pred.dtype)
+        pos_loss = pos_loss * m
+        neg_loss = neg_loss * m
+        num_pos = (pos_inds * m).sum()
+    else:
+        num_pos = pos_inds.sum()
+    pos_loss = pos_loss.sum()
+    neg_loss = neg_loss.sum()
+    # branch-free version of reference's `if num_pos == 0`
+    return jnp.where(num_pos > 0, -(pos_loss + neg_loss) / jnp.clip(num_pos, 1.0, None), -neg_loss)
+
+
+def reg_loss_centernet(pred, gt_regr, mask):
+    """CenterNet L1 regression loss per code dim (reference _reg_loss).
+
+    Args:
+        pred/gt_regr: (B, M, D); mask: (B, M)
+    Returns (D,).
+    """
+    num = mask.astype(pred.dtype).sum()
+    m = mask[..., None].astype(pred.dtype)
+    m = m * (~jnp.isnan(gt_regr)).astype(pred.dtype)
+    gt_regr = jnp.where(jnp.isnan(gt_regr), 0.0, gt_regr)
+    loss = jnp.abs(pred * m - gt_regr * m)
+    loss = loss.sum(axis=(0, 1))  # (D,)
+    return loss / jnp.clip(num, 1.0, None)
+
+
+def chamfer_distance(pred, gt, pred_mask=None, gt_mask=None, weights=None):
+    """Bidirectional Chamfer distance over point sets.
+
+    TPU-native replacement for pytorch3d.loss.chamfer_distance used by the MAE
+    loss (reference spt_backbone_mae.py:88): mean over sets of (mean nearest
+    squared distance pred->gt + mean gt->pred), weighted per set.
+
+    Args:
+        pred: (N, P1, 3), gt: (N, P2, 3)
+        pred_mask: optional (N, P1) validity; gt_mask: optional (N, P2)
+        weights: optional (N,) per-set weights
+    Returns scalar loss (matches pytorch3d default: point_reduction='mean',
+    batch_reduction='mean' with weight normalization by sum of weights).
+    """
+    d2 = jnp.sum((pred[:, :, None, :] - gt[:, None, :, :]) ** 2, axis=-1)  # (N, P1, P2)
+    big = jnp.asarray(1e9, d2.dtype)
+    if gt_mask is not None:
+        d2_pg = jnp.where(gt_mask[:, None, :], d2, big)
+    else:
+        d2_pg = d2
+    if pred_mask is not None:
+        d2_gp = jnp.where(pred_mask[:, :, None], d2, big)
+    else:
+        d2_gp = d2
+    min_pg = d2_pg.min(axis=2)  # (N, P1) pred -> nearest gt
+    min_gp = d2_gp.min(axis=1)  # (N, P2) gt -> nearest pred
+
+    if pred_mask is not None:
+        pm = pred_mask.astype(d2.dtype)
+        loss_pg = (min_pg * pm).sum(axis=1) / jnp.clip(pm.sum(axis=1), 1.0, None)
+    else:
+        loss_pg = min_pg.mean(axis=1)
+    if gt_mask is not None:
+        gm = gt_mask.astype(d2.dtype)
+        loss_gp = (min_gp * gm).sum(axis=1) / jnp.clip(gm.sum(axis=1), 1.0, None)
+    else:
+        loss_gp = min_gp.mean(axis=1)
+
+    per_set = loss_pg + loss_gp  # (N,)
+    if weights is not None:
+        w = weights.astype(d2.dtype)
+        return (per_set * w).sum() / jnp.clip(w.sum(), 1.0, None)
+    return per_set.mean()
