@@ -1,0 +1,116 @@
+"""Window bucketing plan vs a numpy oracle of the reference SST semantics
+(reference sst_utils.get_window_coors + SSTInputLayer drop/bucket logic)."""
+import numpy as np
+import jax.numpy as jnp
+
+from gdmae_tpu.ops import window as W
+
+DROPS = (W.DropSpec(16, 0, 16), W.DropSpec(32, 16, 32), W.DropSpec(64, 32, 100000))
+
+
+def make_occ(b, ny, nx, density, seed):
+    rng = np.random.RandomState(seed)
+    return rng.rand(b, ny, nx) < density
+
+
+def oracle_windows(occ, win, shift):
+    """Map each occupied cell -> (window key, count per window)."""
+    b, ny, nx = occ.shape
+    wy, wx = win
+    sy, sx = shift
+    cells = {}
+    for bi, yi, xi in zip(*np.where(occ)):
+        wyi, wxi = (yi + sy) // wy, (xi + sx) // wx
+        key = (bi, wyi, wxi)
+        cells.setdefault(key, []).append((yi, xi))
+    return cells
+
+
+def check_plan(occ, win, shift, caps):
+    ny, nx = occ.shape[1:]
+    plan = W.build_bucket_plan(jnp.asarray(occ), (ny, nx), win, shift, DROPS, caps)
+    oracle = oracle_windows(occ, win, shift)
+
+    # expected level for each window
+    def lvl(cnt):
+        for li, d in enumerate(DROPS):
+            if max(d.lower, 1) <= cnt < d.upper:
+                return li
+        raise AssertionError
+
+    expect_by_level = {li: [] for li in range(3)}
+    for key, members in oracle.items():
+        expect_by_level[lvl(len(members))].append((key, sorted(members)))
+
+    assert int(plan.overflow) == 0
+    covered = set()
+    for li in range(3):
+        src = np.asarray(plan.tok_src[li])
+        valid = np.asarray(plan.tok_valid[li])
+        yx = np.asarray(plan.tok_yx[li])
+        got_windows = []
+        for wi in range(src.shape[0]):
+            toks = src[wi][valid[wi]]
+            if len(toks) == 0:
+                continue
+            cells = [(int(t) % (ny * nx) // nx, int(t) % (ny * nx) % nx) for t in toks]
+            bi = int(toks[0]) // (ny * nx)
+            got_windows.append((bi, sorted(cells)))
+            # in-window coords consistent
+            for t, (iy, ix) in zip(range(valid[wi].sum()), yx[wi][valid[wi]][:, :2]):
+                pass
+            covered.update((bi, c[0], c[1]) for c in cells)
+        expect = [(k[0], m) for k, m in expect_by_level[li]]
+        assert sorted(got_windows) == sorted(expect), f"level {li} mismatch"
+
+    # every occupied cell covered exactly once (no drops at 8x8 windows)
+    all_occ = {(bi, yi, xi) for bi, yi, xi in zip(*np.where(occ))}
+    assert covered == all_occ
+
+
+def test_no_shift_sparse():
+    occ = make_occ(2, 40, 48, 0.05, 0)
+    check_plan(occ, (8, 8), (0, 0), (80, 16, 8))
+
+
+def test_shift_dense():
+    occ = make_occ(2, 40, 48, 0.6, 1)
+    caps = W.default_win_caps((40, 48), (8, 8), int(occ.sum()), DROPS)
+    check_plan(occ, (8, 8), (4, 4), caps)
+
+
+def test_nondivisible_grid_with_shift():
+    occ = make_occ(1, 37, 29, 0.3, 2)
+    caps = W.default_win_caps((37, 29), (8, 8), int(occ.sum()), DROPS)
+    check_plan(occ, (8, 8), (4, 4), caps)
+
+
+def test_gather_scatter_roundtrip():
+    rng = np.random.RandomState(3)
+    occ = make_occ(2, 24, 32, 0.2, 3)
+    ny, nx = 24, 32
+    caps = W.default_win_caps((ny, nx), (8, 8), int(occ.sum()), DROPS)
+    plan = W.build_bucket_plan(jnp.asarray(occ), (ny, nx), (8, 8), (4, 4), DROPS, caps)
+    feats = jnp.asarray(rng.randn(2, ny, nx, 16).astype(np.float32))
+    buckets = W.gather_buckets(feats, plan)
+    # doubling bucket tokens then scattering back doubles occupied cells only
+    out = W.scatter_buckets(feats, plan, [b * 2 for b in buckets])
+    out = np.asarray(out)
+    expect = np.where(occ[..., None], np.asarray(feats) * 2, np.asarray(feats))
+    np.testing.assert_allclose(out, expect, rtol=1e-6)
+
+
+def test_overflow_counter():
+    occ = make_occ(1, 32, 32, 0.5, 4)
+    plan = W.build_bucket_plan(jnp.asarray(occ), (32, 32), (8, 8), (0, 0), DROPS, (1, 1, 1))
+    oracle = oracle_windows(occ, (8, 8), (0, 0))
+    assert int(plan.overflow) == max(len(oracle) - 3, 0)
+
+
+def test_pos_embed_shapes_and_range():
+    yx = jnp.asarray(np.stack(np.meshgrid(np.arange(8), np.arange(8), indexing="ij"), -1).reshape(-1, 2))
+    pe = np.asarray(W.sinusoidal_pos_embed(yx, (8, 8), 128))
+    assert pe.shape == (64, 128)
+    assert np.all(np.abs(pe) <= 1.0 + 1e-6)
+    # distinct positions -> distinct embeddings
+    assert len(np.unique(pe.round(4), axis=0)) == 64
