@@ -1,0 +1,165 @@
+"""SST window-transformer layers on bucketed tokens.
+
+TPU-native re-design of the reference transformer stack
+(pcdet/models/model_utils/sst_basic_block.py ``WindowAttention`` /
+``EncoderLayer`` / ``BasicShiftBlockV2`` and
+pcdet/models/model_utils/cosine_msa.py ``CosineMultiheadAttention``).
+
+The reference keeps a ragged token list and converts it to a dict of padded
+``[num_windows, max_tokens, C]`` tensors per drop level for attention, then
+back for the FFN.  Here tokens live on a dense BEV canvas; an entire encoder
+layer (attention + FFN, post-norm) runs in the compact bucket layout and the
+result is scattered back, so matmuls stay large and batched for the MXU and
+no per-level Python raggedness survives tracing.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops import window as window_ops
+
+
+class CosineMultiheadAttention(nn.Module):
+    """Multi-head self-attention with optional cosine (scaled-cosine)
+    similarity and a learnable temperature ``tau`` clamped at ``tau_min``
+    (reference cosine_msa.py:114-178, :441-458; enabled by config
+    LAYER_CFG {cosine: True, tau_min: 0.01}).
+
+    Operates on (W, T, C) window buckets with a (W, T) validity mask.
+    """
+
+    d_model: int
+    nhead: int
+    cosine: bool = True
+    tau_min: float = 0.01
+    non_shared_tau: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, qk: jnp.ndarray, v: jnp.ndarray, valid: jnp.ndarray):
+        w, t, c = qk.shape
+        h = self.nhead
+        hd = c // h
+        # torch MHA packs q/k/v projections into one in_proj (with bias)
+        qkv_w = self.param(
+            "in_proj_weight", nn.initializers.xavier_uniform(), (c, 3 * c), jnp.float32
+        )
+        qkv_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * c,), jnp.float32)
+        q = qk @ qkv_w[:, :c].astype(self.dtype) + qkv_b[:c].astype(self.dtype)
+        k = qk @ qkv_w[:, c : 2 * c].astype(self.dtype) + qkv_b[c : 2 * c].astype(self.dtype)
+        vv = v @ qkv_w[:, 2 * c :].astype(self.dtype) + qkv_b[2 * c :].astype(self.dtype)
+
+        q = q.reshape(w, t, h, hd).transpose(0, 2, 1, 3)  # (W, H, T, hd)
+        k = k.reshape(w, t, h, hd).transpose(0, 2, 1, 3)
+        vv = vv.reshape(w, t, h, hd).transpose(0, 2, 1, 3)
+
+        if self.cosine:
+            q = q * jax.lax.rsqrt(jnp.sum(jnp.square(q), -1, keepdims=True) + 1e-12)
+            k = k * jax.lax.rsqrt(jnp.sum(jnp.square(k), -1, keepdims=True) + 1e-12)
+            tau_shape = (1, h, 1, 1) if self.non_shared_tau else (1, 1, 1, 1)
+            tau = self.param("tau", nn.initializers.ones, tau_shape, jnp.float32)
+            logits = jnp.einsum(
+                "whtd,whsd->whts", q, k, preferred_element_type=jnp.float32
+            ) / jnp.maximum(tau, self.tau_min)
+        else:
+            logits = jnp.einsum(
+                "whtd,whsd->whts", q, k, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(float(hd))
+
+        neg = jnp.asarray(-1e9, logits.dtype)
+        logits = jnp.where(valid[:, None, None, :], logits, neg)
+        attn = jax.nn.softmax(logits, axis=-1)
+        # rows belonging to invalid queries may be garbage; zero them below
+        out = jnp.einsum("whts,whsd->whtd", attn.astype(self.dtype), vv)
+        out = out.transpose(0, 2, 1, 3).reshape(w, t, c)
+        out = nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+        return out * valid[..., None].astype(out.dtype)
+
+
+class BucketEncoderLayer(nn.Module):
+    """Post-norm transformer encoder layer applied per drop-level bucket
+    (reference sst_basic_block.py:57-84 EncoderLayer).  Same parameters are
+    shared across drop levels (the reference loops levels through one MHA)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    activation: str = "gelu"
+    cosine: bool = True
+    tau_min: float = 0.01
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.win_attn = CosineMultiheadAttention(
+            self.d_model, self.nhead, cosine=self.cosine, tau_min=self.tau_min,
+            dtype=self.dtype,
+        )
+        self.linear1 = nn.Dense(self.dim_feedforward, dtype=self.dtype)
+        self.linear2 = nn.Dense(self.d_model, dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+
+    def _act(self, x):
+        if self.activation == "gelu":
+            return nn.gelu(x)
+        if self.activation == "relu":
+            return nn.relu(x)
+        raise NotImplementedError(self.activation)
+
+    def __call__(self, feats, pos, valid):
+        """feats/pos: (W, T, C); valid: (W, T)."""
+        src2 = self.win_attn(feats + pos, feats, valid)
+        src = feats + src2
+        src = self.norm1(src)
+        src2 = self.linear2(self._act(self.linear1(src)))
+        src = src + src2
+        src = self.norm2(src)
+        return src * valid[..., None].astype(src.dtype)
+
+
+class CanvasShiftBlock(nn.Module):
+    """Two encoder layers alternating shift0/shift1 window layouts on a
+    dense canvas (reference sst_basic_block.py:87-114 BasicShiftBlockV2).
+
+    Each layer: gather canvas tokens into per-level buckets for its shift,
+    run the bucket encoder layer on every level (shared weights), scatter
+    the updated tokens back.
+    """
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    window: Tuple[int, int]
+    pos_temperature: float = 1000.0
+    normalize_pos: bool = False
+    activation: str = "gelu"
+    cosine: bool = True
+    tau_min: float = 0.01
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, canvas, plans):
+        """canvas: (B, H, W, C); plans: [shift0_plan, shift1_plan]."""
+        num_shifts = len(plans)
+        for i in range(2):
+            plan = plans[i % num_shifts]
+            layer = BucketEncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward,
+                activation=self.activation, cosine=self.cosine,
+                tau_min=self.tau_min, dtype=self.dtype, name=f"encoder_{i}",
+            )
+            buckets = window_ops.gather_buckets(canvas, plan)
+            out_buckets = []
+            for feats, yx, valid in zip(buckets, plan.tok_yx, plan.tok_valid):
+                pos = window_ops.sinusoidal_pos_embed(
+                    yx, self.window, self.d_model,
+                    pos_temperature=self.pos_temperature,
+                    normalize_pos=self.normalize_pos, dtype=jnp.float32,
+                ).astype(canvas.dtype)
+                out_buckets.append(layer(feats, pos, valid))
+            canvas = window_ops.scatter_buckets(canvas, plan, out_buckets)
+        return canvas

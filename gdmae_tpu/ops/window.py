@@ -197,9 +197,9 @@ def scatter_buckets(features: jnp.ndarray, plan: BucketPlan, bucket_feats):
     flat = features.reshape(b * ny * nx, c)
     flat = jnp.concatenate([flat, jnp.zeros((1, c), flat.dtype)], axis=0)
     for src, bf in zip(plan.tok_src, bucket_feats):
-        flat = flat.at[src.reshape(-1)].set(
-            bf.reshape(-1, c), mode="drop", unique_indices=True
-        )
+        # NOTE: invalid slots all alias the trash row, so indices are NOT
+        # unique — do not pass unique_indices here.
+        flat = flat.at[src.reshape(-1)].set(bf.reshape(-1, c), mode="drop")
     return flat[:-1].reshape(b, ny, nx, c)
 
 
@@ -235,12 +235,15 @@ def sinusoidal_pos_embed(tok_yx, window, feat_dim, pos_temperature=1000,
     return jnp.concatenate([ex, ey], axis=-1)
 
 
-def default_win_caps(grid_hw, window, max_pillars, drop_specs) -> Tuple[int, ...]:
+def default_win_caps(grid_hw, window, max_pillars, drop_specs,
+                     batch_size: int = 1) -> Tuple[int, ...]:
     """Heuristic per-level window capacities guaranteeing zero overflow.
 
-    Level 0 can have as many windows as fit in the grid; level l>0 windows
-    hold at least ``lower`` tokens so at most max_pillars // lower exist.
-    Values are rounded up to a multiple of 8 for TPU-friendly shapes.
+    Buckets are global across the batch, so capacities scale with
+    ``batch_size``.  Level 0 can have as many windows as fit in the grid;
+    level l>0 windows hold at least ``lower`` tokens so at most
+    ``max_pillars // lower`` exist per sample.  Values are rounded up to a
+    multiple of 8 for TPU-friendly shapes.
     """
     ny, nx = grid_hw
     wy, wx = window
@@ -248,6 +251,6 @@ def default_win_caps(grid_hw, window, max_pillars, drop_specs) -> Tuple[int, ...
     caps = []
     for spec in drop_specs:
         lo = max(spec.lower, 1)
-        cap = min(nw, -(-max_pillars // lo))
+        cap = min(nw, -(-max_pillars // lo)) * batch_size
         caps.append(int(np.ceil(cap / 8) * 8))
     return tuple(caps)

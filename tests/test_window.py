@@ -75,7 +75,7 @@ def test_no_shift_sparse():
 
 def test_shift_dense():
     occ = make_occ(2, 40, 48, 0.6, 1)
-    caps = W.default_win_caps((40, 48), (8, 8), int(occ.sum()), DROPS)
+    caps = W.default_win_caps((40, 48), (8, 8), int(occ.sum()), DROPS, batch_size=2)
     check_plan(occ, (8, 8), (4, 4), caps)
 
 
@@ -89,7 +89,7 @@ def test_gather_scatter_roundtrip():
     rng = np.random.RandomState(3)
     occ = make_occ(2, 24, 32, 0.2, 3)
     ny, nx = 24, 32
-    caps = W.default_win_caps((ny, nx), (8, 8), int(occ.sum()), DROPS)
+    caps = W.default_win_caps((ny, nx), (8, 8), int(occ.sum()), DROPS, batch_size=2)
     plan = W.build_bucket_plan(jnp.asarray(occ), (ny, nx), (8, 8), (4, 4), DROPS, caps)
     feats = jnp.asarray(rng.randn(2, ny, nx, 16).astype(np.float32))
     buckets = W.gather_buckets(feats, plan)
