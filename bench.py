@@ -1,0 +1,90 @@
+"""Benchmark: GD-MAE pretrain fwd+bwd LiDAR scans/sec/chip.
+
+Runs the gd_mae_ssl (SPTBackboneMAE) training step on synthetic KITTI-sized
+scans on the available accelerator and prints ONE JSON line.
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md §6), so
+``vs_baseline`` is computed against an estimated A100 reference of
+150 scans/sec/chip for the same config (batch-16 torch train steps at
+~9.4 it/s, consistent with SST-class pillar models on A100), times the 4x
+target from BASELINE.json -> baseline = 600 scans/sec.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+A100_EST_SCANS_PER_SEC = 150.0
+TARGET_MULT = 4.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gdmae_tpu.config import cfg_from_yaml_file
+    from gdmae_tpu.models.detectors.detector3d_template import (
+        DatasetMeta, build_network,
+    )
+    from gdmae_tpu.runtime import optimization, train as train_lib
+
+    cfg = cfg_from_yaml_file(str(REPO / "tools/cfgs/kitti_models/gd_mae_ssl.yaml"))
+    meta = DatasetMeta(
+        class_names=cfg.CLASS_NAMES,
+        point_cloud_range=cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
+        voxel_size=[0.32, 0.32, 4],
+        grid_size=[216, 248],
+        num_point_features=4,
+        max_points=16384,
+        max_pillars=8192,
+    )
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    batch_size = 16 if on_tpu else 2
+    model = build_network(cfg.MODEL, num_class=3, dataset=meta, dtype=dtype)
+
+    rng = np.random.RandomState(0)
+    n = meta.max_points
+    pts = np.zeros((batch_size, n, 4), np.float32)
+    pts[..., 0] = rng.uniform(0.5, 68.5, (batch_size, n))
+    pts[..., 1] = rng.uniform(-39, 39, (batch_size, n))
+    pts[..., 2] = rng.uniform(-2.5, 0.5, (batch_size, n))
+    pts[..., 3] = rng.uniform(0, 1, (batch_size, n))
+    batch = {
+        "points": jnp.asarray(pts),
+        "point_mask": jnp.ones((batch_size, n), bool),
+    }
+
+    params, batch_stats = train_lib.init_model(model, batch, seed=0)
+    tx, _ = optimization.build_optimizer(cfg.OPTIMIZATION, 100, 30)
+    state = train_lib.TrainState.create(params, batch_stats, tx)
+    step = train_lib.make_train_step(model)
+
+    key = jax.random.PRNGKey(0)
+    # warmup / compile
+    state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = batch_size * iters / dt
+    baseline = A100_EST_SCANS_PER_SEC * TARGET_MULT
+    print(json.dumps({
+        "metric": "mae_pretrain_scans_per_sec_per_chip",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,8 +31,13 @@ class EasyDict(dict):
 
     @staticmethod
     def _convert(value):
-        if isinstance(value, dict) and not isinstance(value, EasyDict):
-            return EasyDict(value)
+        import collections.abc
+
+        if isinstance(value, EasyDict):
+            return value
+        # handle any Mapping (incl. flax FrozenDict), not just dict
+        if isinstance(value, collections.abc.Mapping):
+            return EasyDict(dict(value))
         if isinstance(value, (list, tuple)):
             return type(value)(EasyDict._convert(v) for v in value)
         return value
@@ -164,3 +169,16 @@ def cfg_from_list(cfg_list, config):
 
 cfg = EasyDict()
 cfg.LOCAL_RANK = 0
+
+
+def as_easy(d):
+    """Rehydrate a (possibly frozen/plain) mapping into an EasyDict.  Flax
+    converts dict-typed Module attributes to FrozenDict, which loses
+    attribute access — call this at module entry."""
+    if isinstance(d, EasyDict):
+        return d
+    try:
+        items = dict(d)
+    except TypeError:
+        return d
+    return EasyDict(items)

@@ -1,0 +1,190 @@
+"""Dynamic-voxelization VFE on fixed-capacity padded point arrays.
+
+TPU-native equivalent of the reference DynVFE
+(pcdet/models/backbones_3d/vfe/dyn_vfe.py): in-range masking +
+``unique(return_inverse)`` pillarization become `ops.scatter.dynamic_pillarize`
+(sort-based, static shapes), and torch_scatter mean/max become masked
+segment ops.  Input points are (B, N, C) with a validity mask instead of a
+ragged stacked list; every output is (B, M, ...) with a pillar mask.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...config import as_easy
+from ...ops import scatter
+from ..model_utils.blocks import LinearBNReLU
+
+
+class DynVFE(nn.Module):
+    """Config mirror of reference MODEL.VFE with NAME: DynVFE.
+
+    Attributes:
+        mlps: MODEL.VFE.MLPS, e.g. [[64, 128]].
+        sample_type: 'mean' | 'random' | 'nearest' (TYPE).
+        point_cloud_range / voxel_size / grid_size: dataset geometry;
+            grid_size = (nx, ny) static ints.
+        max_pillars: static pillar capacity M.
+    """
+
+    model_cfg: Any
+    num_point_features: int
+    point_cloud_range: Tuple[float, ...]
+    voxel_size: Tuple[float, ...]
+    grid_size: Tuple[int, int]
+    max_pillars: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch_dict, train: bool = True):
+        points = batch_dict["points"]  # (B, N, C) [x, y, z, feats...]
+        point_mask = batch_dict["point_mask"]  # (B, N) bool
+        b, n, _ = points.shape
+        m = self.max_pillars
+        cfg = as_easy(self.model_cfg)
+
+        pillarize = jax.vmap(
+            lambda p, pm: scatter.dynamic_pillarize(
+                p, pm, self.point_cloud_range, self.voxel_size, self.grid_size, m
+            )
+        )
+        res = pillarize(points[..., :3], point_mask)
+
+        # flattened segment ids across the batch: b * (M+1) + slot
+        seg = (
+            jnp.arange(b, dtype=jnp.int32)[:, None] * (m + 1) + res.point_pillar
+        ).reshape(-1)
+        nseg = b * (m + 1)
+        pt_valid = (res.point_pillar < m) & point_mask  # in-range & real
+
+        flat_pts = points.reshape(b * n, -1)
+
+        def seg_mean(v):
+            return scatter.segment_mean(v, seg, nseg).reshape(b, m + 1, -1)[:, :m]
+
+        def seg_max(v):
+            return scatter.segment_max(v, seg, nseg).reshape(b, m + 1, -1)[:, :m]
+
+        sample_type = cfg.get("TYPE", "mean")
+        if sample_type == "mean":
+            x = seg_mean(flat_pts)  # (B, M, C)
+        elif sample_type == "random":
+            # last point (by original order) of each pillar — deterministic
+            # stand-in for torch_scatter.scatter_max over arange
+            # (reference dyn_vfe.py:71)
+            idx = scatter.segment_max(
+                jnp.arange(b * n, dtype=jnp.float32)[:, None], seg, nseg
+            ).astype(jnp.int32).reshape(b, m + 1)[:, :m]
+            x = flat_pts[jnp.clip(idx.reshape(-1), 0, b * n - 1)].reshape(b, m, -1)
+        elif sample_type == "nearest":
+            mean_xyz = seg_mean(flat_pts[:, :3])  # (B, M, 3)
+            mean_pad = jnp.concatenate(
+                [mean_xyz, jnp.zeros((b, 1, 3), mean_xyz.dtype)], axis=1
+            )
+            mean_at_pt = jnp.take_along_axis(
+                mean_pad, res.point_pillar[..., None].clip(0, m), axis=1
+            )
+            d = jnp.linalg.norm(points[..., :3] - mean_at_pt, axis=-1).reshape(-1)
+            amin = scatter.segment_argmin(jnp.where(pt_valid.reshape(-1), d, jnp.inf), seg, nseg)
+            amin = amin.reshape(b, m + 1)[:, :m]
+            x = flat_pts[jnp.clip(amin.reshape(-1), 0, b * n - 1)].reshape(b, m, -1)
+        else:
+            raise NotImplementedError(sample_type)
+
+        mlps = cfg.get("MLPS", None)
+        if mlps is not None:
+            use_abs_xyz = cfg.get("USE_ABSLOTE_XYZ", True)
+            use_cluster = cfg.get("USE_CLUSTER_XYZ", True)
+            with_dist = cfg.get("WITH_DISTANCE", False)
+
+            pc = jnp.asarray(self.point_cloud_range, points.dtype)
+            vs = jnp.asarray(self.voxel_size, points.dtype)
+            # mean xyz of each point's pillar (padded row for trash)
+            samp_xyz = x[..., :3]
+            samp_pad = jnp.concatenate(
+                [samp_xyz, jnp.zeros((b, 1, 3), samp_xyz.dtype)], axis=1
+            )
+            pil_of_pt = jnp.take_along_axis(
+                samp_pad, res.point_pillar[..., None].clip(0, m), axis=1
+            )
+            f_cluster = points[..., :3] - pil_of_pt
+
+            coords_pad = jnp.concatenate(
+                [res.pillar_coords, jnp.zeros((b, 1, 2), jnp.int32)], axis=1
+            )
+            cyx = jnp.take_along_axis(
+                coords_pad, res.point_pillar[..., None].clip(0, m), axis=1
+            )  # (B, N, 2) [iy, ix]
+            f_center = jnp.stack(
+                [
+                    points[..., 0] - ((cyx[..., 1].astype(points.dtype) + 0.5) * vs[0] + pc[0]),
+                    points[..., 1] - ((cyx[..., 0].astype(points.dtype) + 0.5) * vs[1] + pc[1]),
+                    points[..., 2] - (0.5 * vs[2] + pc[2]),
+                ],
+                axis=-1,
+            )
+
+            feats = [f_center]
+            if use_abs_xyz:
+                feats.append(points)
+            else:
+                feats.append(points[..., 3:])
+            if use_cluster:
+                feats.append(f_cluster)
+            if with_dist:
+                feats.append(jnp.linalg.norm(points[..., :3], axis=-1, keepdims=True))
+            pf = jnp.concatenate(feats, axis=-1) * pt_valid[..., None].astype(points.dtype)
+            pf = pf.astype(self.dtype)
+
+            for k, channels in enumerate(mlps):
+                for c in channels:
+                    pf = LinearBNReLU(c, dtype=self.dtype, name=f"mlp{k}_{c}")(
+                        pf, mask=pt_valid, train=train
+                    )
+                pf_flat = pf.reshape(b * n, -1)
+                x_max = scatter.segment_max(
+                    jnp.where(pt_valid.reshape(-1, 1), pf_flat, -jnp.inf), seg, nseg
+                ).reshape(b, m + 1, -1)[:, :m]
+                if k == len(mlps) - 1:
+                    x = x_max
+                else:
+                    x_max_pad = jnp.concatenate(
+                        [x_max, jnp.zeros((b, 1, x_max.shape[-1]), x_max.dtype)], axis=1
+                    )
+                    back = jnp.take_along_axis(
+                        x_max_pad, res.point_pillar[..., None].clip(0, m), axis=1
+                    )
+                    pf = jnp.concatenate([pf, back], axis=-1)
+
+            agg = cfg.get("AGGREGATION_MLPS", None)
+            if agg is not None:
+                for c in agg:
+                    x = LinearBNReLU(c, dtype=self.dtype, name=f"agg_{c}")(
+                        x, mask=res.pillar_mask, train=train
+                    )
+
+        x = x * res.pillar_mask[..., None].astype(x.dtype)
+
+        batch_dict["pillar_features"] = x
+        batch_dict["voxel_features"] = x
+        batch_dict["pillar_coords"] = res.pillar_coords  # (B, M, 2) [iy, ix]
+        batch_dict["pillar_mask"] = res.pillar_mask
+        batch_dict["point_pillar"] = res.point_pillar
+        batch_dict["point_valid"] = pt_valid
+        batch_dict["pillarize_result"] = res
+        return batch_dict
+
+    @property
+    def output_feature_dim(self):
+        cfg = as_easy(self.model_cfg)
+        mlps = cfg.get("MLPS", None)
+        if mlps is None:
+            return self.num_point_features
+        agg = self.model_cfg.get("AGGREGATION_MLPS", None)
+        if agg is not None:
+            return agg[-1]
+        return mlps[-1][-1]

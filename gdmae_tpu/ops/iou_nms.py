@@ -1,0 +1,187 @@
+"""Rotated BEV IoU and fixed-capacity greedy NMS, pure JAX.
+
+TPU-native equivalent of the reference ``iou3d_nms_cuda`` extension
+(reference pcdet/ops/iou3d_nms/src/iou3d_nms_kernel.cu — polygon-clipping
+rotated overlap :236-265 and bitmask greedy NMS :267-326; Python wrappers in
+pcdet/ops/iou3d_nms/iou3d_nms_utils.py).
+
+Design: the rotated-rectangle overlap is computed by Sutherland–Hodgman
+clipping of box A's 4-gon against box B's 4 half-planes in B's local frame.
+The polygon buffer is a fixed (8, 2) array (convex clip of a 4-gon by 4
+half-planes has <= 8 vertices), so everything vectorizes with masks — no
+data-dependent shapes.  Greedy NMS precomputes the (chunked) IoU matrix and
+runs a sequential suppression scan, returning a fixed-K keep set.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _box_corners_local(dx, dy):
+    """CCW corners of an axis-aligned rect centred at origin."""
+    hx, hy = dx / 2, dy / 2
+    return jnp.stack([
+        jnp.stack([hx, hy], -1),
+        jnp.stack([-hx, hy], -1),
+        jnp.stack([-hx, -hy], -1),
+        jnp.stack([hx, -hy], -1),
+    ], axis=-2)  # (..., 4, 2)
+
+
+def _clip_halfplane(poly, count, axis, sign, bound):
+    """Clip (8, 2) polygon with ``count`` valid verts against
+    sign * poly[axis] <= bound.  Returns new (8, 2) poly + count."""
+    idx = jnp.arange(8)
+    nxt = jnp.where(idx + 1 < count, idx + 1, 0)
+    v = poly
+    w = poly[nxt]
+    fv = sign * v[:, axis] - bound  # <= 0 means inside
+    fw = sign * w[:, axis] - bound
+    in_v = fv <= 0
+    in_w = fw <= 0
+    valid_edge = idx < count
+
+    t = fv / jnp.where(jnp.abs(fv - fw) > 1e-12, fv - fw, 1e-12)
+    inter = v + t[:, None] * (w - v)
+
+    emit_v = in_v & valid_edge
+    emit_i = (in_v != in_w) & valid_edge
+    n_emit = emit_v.astype(jnp.int32) + emit_i.astype(jnp.int32)
+    offset = jnp.cumsum(n_emit) - n_emit
+    new_count = jnp.sum(n_emit)
+
+    out = jnp.zeros_like(poly)
+    pos_v = jnp.where(emit_v, offset, 8)
+    out = out.at[pos_v].set(v, mode="drop")
+    pos_i = jnp.where(emit_i, offset + emit_v.astype(jnp.int32), 8)
+    out = out.at[pos_i].set(inter, mode="drop")
+    return out, new_count
+
+
+def _pair_overlap(box_a, box_b):
+    """BEV overlap area of two rotated boxes [x, y, z, dx, dy, dz, r]."""
+    ca, cb = box_a[:2], box_b[:2]
+    ra, rb = box_a[6], box_b[6]
+    # A in B's frame
+    cos_b, sin_b = jnp.cos(-rb), jnp.sin(-rb)
+    rel = ca - cb
+    c = jnp.stack([cos_b * rel[0] - sin_b * rel[1],
+                   sin_b * rel[0] + cos_b * rel[1]])
+    a_rel = ra - rb
+    cos_a, sin_a = jnp.cos(a_rel), jnp.sin(a_rel)
+    loc = _box_corners_local(box_a[3], box_a[4])  # (4, 2)
+    rot = jnp.stack([
+        cos_a * loc[:, 0] - sin_a * loc[:, 1],
+        sin_a * loc[:, 0] + cos_a * loc[:, 1],
+    ], axis=-1)
+    poly = jnp.zeros((8, 2)).at[:4].set(rot + c)
+    count = jnp.asarray(4, jnp.int32)
+
+    hx, hy = box_b[3] / 2, box_b[4] / 2
+    poly, count = _clip_halfplane(poly, count, 0, 1.0, hx)
+    poly, count = _clip_halfplane(poly, count, 0, -1.0, hx)
+    poly, count = _clip_halfplane(poly, count, 1, 1.0, hy)
+    poly, count = _clip_halfplane(poly, count, 1, -1.0, hy)
+
+    # shoelace with tail vertices pinned to the last valid vertex
+    idx = jnp.arange(8)
+    pin = jnp.minimum(idx, jnp.maximum(count - 1, 0))
+    p = poly[pin]
+    q = jnp.roll(p, -1, axis=0)
+    area = 0.5 * jnp.abs(jnp.sum(p[:, 0] * q[:, 1] - q[:, 0] * p[:, 1]))
+    return jnp.where(count >= 3, area, 0.0)
+
+
+_pair_overlap_vm = jax.vmap(jax.vmap(_pair_overlap, (None, 0)), (0, None))
+
+
+def boxes_overlap_bev(boxes_a, boxes_b, chunk=256):
+    """(N, 7) x (M, 7) -> (N, M) rotated BEV overlap areas (reference
+    boxes_overlap_bev_gpu, iou3d_nms.cpp:49)."""
+    n = boxes_a.shape[0]
+    if n <= chunk:
+        return _pair_overlap_vm(boxes_a, boxes_b)
+    pad = (-n) % chunk
+    a = jnp.pad(boxes_a, ((0, pad), (0, 0)))
+    a = a.reshape(-1, chunk, boxes_a.shape[-1])
+    out = jax.lax.map(lambda ac: _pair_overlap_vm(ac, boxes_b), a)
+    return out.reshape(-1, boxes_b.shape[0])[:n]
+
+
+def boxes_iou_bev(boxes_a, boxes_b, chunk=256):
+    """Rotated BEV IoU (reference boxes_iou_bev_gpu, iou3d_nms.cpp:70)."""
+    overlap = boxes_overlap_bev(boxes_a, boxes_b, chunk)
+    area_a = (boxes_a[:, 3] * boxes_a[:, 4])[:, None]
+    area_b = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
+    return overlap / jnp.clip(area_a + area_b - overlap, 1e-6)
+
+
+def boxes_iou3d(boxes_a, boxes_b, chunk=256):
+    """Full 3D IoU: rotated BEV overlap x height overlap (reference
+    iou3d_nms_utils.boxes_iou3d_gpu)."""
+    overlap_bev = boxes_overlap_bev(boxes_a, boxes_b, chunk)
+    a_top = (boxes_a[:, 2] + boxes_a[:, 5] / 2)[:, None]
+    a_bot = (boxes_a[:, 2] - boxes_a[:, 5] / 2)[:, None]
+    b_top = (boxes_b[:, 2] + boxes_b[:, 5] / 2)[None, :]
+    b_bot = (boxes_b[:, 2] - boxes_b[:, 5] / 2)[None, :]
+    h_overlap = jnp.clip(jnp.minimum(a_top, b_top) - jnp.maximum(a_bot, b_bot), 0.0)
+    inter = overlap_bev * h_overlap
+    vol_a = (boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5])[:, None]
+    vol_b = (boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5])[None, :]
+    return inter / jnp.clip(vol_a + vol_b - inter, 1e-6)
+
+
+def _greedy_suppress(iou, valid, thresh):
+    """Sequential greedy suppression over score-sorted boxes.
+
+    iou: (K, K) of score-sorted boxes; valid: (K,).  Returns keep (K,) bool.
+    """
+    k = iou.shape[0]
+    adj = iou > thresh
+
+    def body(i, keep):
+        keep_i = keep[i]
+        later = jnp.arange(k) > i
+        return keep & ~(adj[i] & keep_i & later)
+
+    keep = jax.lax.fori_loop(0, k, body, valid)
+    return keep
+
+
+def nms_bev(boxes, scores, thresh, pre_maxsize, post_maxsize, valid=None,
+            axis_aligned=False):
+    """Class-agnostic rotated NMS with fixed-capacity outputs (reference
+    nms_gpu, iou3d_nms.cpp:90 + model_nms_utils.class_agnostic_nms).
+
+    Args:
+        boxes: (N, 7); scores: (N,); valid: (N,) bool optional.
+    Returns:
+        keep_idx: (post_maxsize,) int32 indices into boxes, padded with -1;
+        keep_mask: (post_maxsize,) bool;
+        keep_scores: (post_maxsize,) float.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    masked_scores = jnp.where(valid, scores, -jnp.inf)
+    k = min(pre_maxsize, n)
+    top_scores, order = jax.lax.top_k(masked_scores, k)
+    top_boxes = boxes[order]
+    top_valid = jnp.isfinite(top_scores)
+
+    if axis_aligned:
+        # nms_normal_gpu: IoU of axis-aligned (non-rotated) BEV boxes
+        zeroed = top_boxes.at[:, 6].set(0.0)
+        iou = boxes_iou_bev(zeroed, zeroed)
+    else:
+        iou = boxes_iou_bev(top_boxes, top_boxes)
+    keep = _greedy_suppress(iou, top_valid, thresh)
+
+    keep_scores = jnp.where(keep, top_scores, -jnp.inf)
+    sel_scores, sel = jax.lax.top_k(keep_scores, min(post_maxsize, k))
+    sel_mask = jnp.isfinite(sel_scores)
+    keep_idx = jnp.where(sel_mask, order[sel], -1)
+    return keep_idx, sel_mask, jnp.where(sel_mask, sel_scores, 0.0)

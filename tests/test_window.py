@@ -104,7 +104,13 @@ def test_overflow_counter():
     occ = make_occ(1, 32, 32, 0.5, 4)
     plan = W.build_bucket_plan(jnp.asarray(occ), (32, 32), (8, 8), (0, 0), DROPS, (1, 1, 1))
     oracle = oracle_windows(occ, (8, 8), (0, 0))
-    assert int(plan.overflow) == max(len(oracle) - 3, 0)
+    per_level = [0, 0, 0]
+    for members in oracle.values():
+        cnt = len(members)
+        for li, d in enumerate(DROPS):
+            if max(d.lower, 1) <= cnt < d.upper:
+                per_level[li] += 1
+    assert int(plan.overflow) == sum(max(n - 1, 0) for n in per_level)
 
 
 def test_pos_embed_shapes_and_range():
