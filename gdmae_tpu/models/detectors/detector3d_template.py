@@ -19,10 +19,14 @@ from flax import linen as nn
 
 from ...config import as_easy
 from ...ops import iou_nms
+from ..backbones_2d.map_to_bev import HeightCompression, PointPillarScatter
 from ..backbones_2d.sst_bev_backbone import BaseBEVBackbone, SSTBEVBackbone
 from ..backbones_3d.spt_backbone import SPTBackbone, SPTBackboneMAE
 from ..dense_heads.anchor_head import AnchorHeadSingle
+from ..dense_heads.center_head import CenterHead
+from ..roi_heads.graphrcnn_head import GraphRCNNHead
 from ..vfe.dyn_vfe import DynVFE
+from ..vfe.pillar_vfe import MeanVFE, PillarVFE
 
 
 class DatasetMeta:
@@ -40,10 +44,13 @@ class DatasetMeta:
         self.max_pillars = int(max_pillars)
 
 
-VFE_MODULES = {"DynVFE": DynVFE}
+VFE_MODULES = {"DynVFE": DynVFE, "PillarVFE": PillarVFE, "MeanVFE": MeanVFE}
 BACKBONE3D_MODULES = {"SPTBackbone": SPTBackbone, "SPTBackboneMAE": SPTBackboneMAE}
+MAP_TO_BEV_MODULES = {"PointPillarScatter": PointPillarScatter,
+                      "HeightCompression": HeightCompression}
 BACKBONE2D_MODULES = {"SSTBEVBackbone": SSTBEVBackbone, "BaseBEVBackbone": BaseBEVBackbone}
-DENSE_HEAD_MODULES = {"AnchorHeadSingle": AnchorHeadSingle}
+DENSE_HEAD_MODULES = {"AnchorHeadSingle": AnchorHeadSingle, "CenterHead": CenterHead}
+ROI_HEAD_MODULES = {"GraphRCNNHead": GraphRCNNHead}
 
 
 class Detector3DTemplate(nn.Module):
@@ -60,8 +67,10 @@ class Detector3DTemplate(nn.Module):
         ds = self.dataset
         self.vfe = None
         self.backbone_3d = None
+        self.map_to_bev = None
         self.backbone_2d = None
         self.dense_head = None
+        self.roi_head = None
 
         num_feats = ds.num_point_features
         if cfg.get("VFE", None) is not None:
@@ -90,6 +99,16 @@ class Detector3DTemplate(nn.Module):
             )
             num_feats = self.backbone_3d.num_point_features
 
+        if cfg.get("MAP_TO_BEV", None) is not None:
+            m2b_cls = MAP_TO_BEV_MODULES[cfg.MAP_TO_BEV.NAME]
+            if m2b_cls is PointPillarScatter:
+                self.map_to_bev = m2b_cls(
+                    model_cfg=cfg.MAP_TO_BEV, grid_size=ds.grid_size[:2],
+                    dtype=self.dtype)
+            else:
+                self.map_to_bev = m2b_cls(model_cfg=cfg.MAP_TO_BEV, dtype=self.dtype)
+            num_feats = self.map_to_bev.num_bev_features
+
         if cfg.get("BACKBONE_2D", None) is not None:
             bb2_cls = BACKBONE2D_MODULES[cfg.BACKBONE_2D.NAME]
             self.backbone_2d = bb2_cls(
@@ -100,7 +119,7 @@ class Detector3DTemplate(nn.Module):
         if cfg.get("DENSE_HEAD", None) is not None:
             head_cls = DENSE_HEAD_MODULES[cfg.DENSE_HEAD.NAME]
             num_class = self.num_class if not cfg.DENSE_HEAD.get("CLASS_AGNOSTIC", False) else 1
-            self.dense_head = head_cls(
+            head_kwargs = dict(
                 model_cfg=cfg.DENSE_HEAD,
                 input_channels=num_feats,
                 num_class=num_class,
@@ -110,9 +129,22 @@ class Detector3DTemplate(nn.Module):
                 predict_boxes_when_training=cfg.get("ROI_HEAD", None) is not None,
                 dtype=self.dtype,
             )
+            if head_cls is CenterHead:
+                head_kwargs["voxel_size"] = ds.voxel_size
+            self.dense_head = head_cls(**head_kwargs)
+
+        if cfg.get("ROI_HEAD", None) is not None:
+            roi_cls = ROI_HEAD_MODULES[cfg.ROI_HEAD.NAME]
+            self.roi_head = roi_cls(
+                model_cfg=cfg.ROI_HEAD,
+                num_class=1 if cfg.ROI_HEAD.get("CLASS_AGNOSTIC", True) else self.num_class,
+                point_cloud_range=ds.point_cloud_range,
+                dtype=self.dtype,
+            )
 
     def run_stages(self, batch_dict, train: bool):
-        for stage in (self.vfe, self.backbone_3d, self.backbone_2d, self.dense_head):
+        for stage in (self.vfe, self.backbone_3d, self.map_to_bev,
+                      self.backbone_2d, self.dense_head, self.roi_head):
             if stage is not None:
                 batch_dict = stage(batch_dict, train=train)
         return batch_dict
@@ -198,9 +230,53 @@ class GDMAE(Detector3DTemplate):
         return batch_dict
 
 
+class CenterPoint(Detector3DTemplate):
+    """Reference detectors/centerpoint.py — the CenterHead produces
+    final_box_dicts itself; post_processing passes them through (:36-50)."""
+
+    def __call__(self, batch_dict, train: bool = True):
+        batch_dict = self.run_stages(batch_dict, train)
+        if train:
+            batch_dict["loss"] = batch_dict["loss_rpn"]
+        return batch_dict
+
+
+class SECONDNet(Detector3DTemplate):
+    """Reference detectors/second_net.py."""
+
+    def __call__(self, batch_dict, train: bool = True):
+        batch_dict = self.run_stages(batch_dict, train)
+        if train:
+            batch_dict["loss"] = batch_dict["loss_rpn"]
+        else:
+            batch_dict = self.post_processing(batch_dict)
+        return batch_dict
+
+
+class GraphRCNN(Detector3DTemplate):
+    """Reference detectors/graph_rcnn.py — two-stage; combines dense-head and
+    RCNN losses.  FREEZE_LAYERS is honored by the optimizer mask
+    (runtime/optimization.build_param_freeze_mask)."""
+
+    def __call__(self, batch_dict, train: bool = True):
+        batch_dict = self.run_stages(batch_dict, train)
+        if train:
+            loss = batch_dict.get("loss_rcnn", 0.0)
+            freeze = as_easy(self.model_cfg).get("FREEZE_LAYERS", None)
+            if "loss_rpn" in batch_dict and not freeze:
+                loss = loss + batch_dict["loss_rpn"]
+            batch_dict["loss"] = loss
+        else:
+            batch_dict = self.post_processing(batch_dict)
+        return batch_dict
+
+
 DETECTOR_MODULES = {
     "PointPillar": PointPillar,
     "GDMAE": GDMAE,
+    "CenterPoint": CenterPoint,
+    "SECONDNet": SECONDNet,
+    "GraphRCNN": GraphRCNN,
 }
 
 

@@ -141,8 +141,8 @@ class DynVFE(nn.Module):
             pf = pf.astype(self.dtype)
 
             for k, channels in enumerate(mlps):
-                for c in channels:
-                    pf = LinearBNReLU(c, dtype=self.dtype, name=f"mlp{k}_{c}")(
+                for ci, c in enumerate(channels):
+                    pf = LinearBNReLU(c, dtype=self.dtype, name=f"mlp{k}_{ci}")(
                         pf, mask=pt_valid, train=train
                     )
                 pf_flat = pf.reshape(b * n, -1)
@@ -162,8 +162,8 @@ class DynVFE(nn.Module):
 
             agg = cfg.get("AGGREGATION_MLPS", None)
             if agg is not None:
-                for c in agg:
-                    x = LinearBNReLU(c, dtype=self.dtype, name=f"agg_{c}")(
+                for ai, c in enumerate(agg):
+                    x = LinearBNReLU(c, dtype=self.dtype, name=f"agg_{ai}")(
                         x, mask=res.pillar_mask, train=train
                     )
 

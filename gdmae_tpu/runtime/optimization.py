@@ -98,7 +98,7 @@ def build_optimizer(optim_cfg, total_iters_each_epoch: int, total_epochs: int):
             return optax.chain(
                 optax.scale_by_adam(b1=b1, b2=0.99, eps=1e-8),
                 optax.add_decayed_weights(wd),
-                optax.scale(-1.0) if False else optax.scale_by_learning_rate(learning_rate),
+                optax.scale_by_learning_rate(learning_rate),
             )
 
         tx = make(b1=mom_fn, learning_rate=lr_fn)
@@ -122,3 +122,39 @@ def build_optimizer(optim_cfg, total_iters_each_epoch: int, total_epochs: int):
     if clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
     return tx, lr_fn
+
+
+def build_param_freeze_mask(params, freeze_patterns):
+    """Pytree mask for optax.masked: True = trainable, False = frozen.
+
+    Mirrors the reference's FREEZE_LAYERS mechanism
+    (detectors/graph_rcnn.py:8-9 + detector3d_template.py:30-36 layer
+    freezing): any parameter whose path contains one of the patterns is
+    excluded from updates.  (The reference also converts frozen BN to
+    FrozenBatchNorm; here frozen modules' running stats keep updating only
+    if the train step chooses to — pair this with use_running_average for
+    exact parity.)
+    """
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(path):
+        return "/".join(str(getattr(k, "key", k)) for k in path)
+
+    def mask_fn(path, _):
+        p = path_str(path)
+        return not any(pat in p for pat in freeze_patterns)
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def apply_freeze(tx, params, freeze_patterns):
+    import optax as _optax
+
+    if not freeze_patterns:
+        return tx
+    mask = build_param_freeze_mask(params, freeze_patterns)
+    return _optax.chain(
+        _optax.masked(tx, mask),
+    )
