@@ -185,7 +185,7 @@ class AnchorHeadSingle(nn.Module):
     def get_loss(self, ret):
         """Reference anchor_head_template get_cls_layer_loss /
         get_box_reg_layer_loss (:100-213)."""
-        cfg = self.model_cfg
+        cfg = as_easy(self.model_cfg)
         lw = cfg.LOSS_CONFIG.LOSS_WEIGHTS
         cls_preds = ret["cls_preds"].astype(jnp.float32)
         box_preds = ret["box_preds"].astype(jnp.float32)
@@ -236,7 +236,7 @@ class AnchorHeadSingle(nn.Module):
         return b1, b2
 
     def _get_direction_target(self, anchors, reg_targets):
-        cfg = self.model_cfg
+        cfg = as_easy(self.model_cfg)
         num_bins = int(cfg.NUM_DIR_BINS)
         rot_gt = reg_targets[..., 6] + anchors[..., 6]
         offset_rot = common_utils.limit_period(rot_gt - float(cfg.DIR_OFFSET), 0, 2 * np.pi)
@@ -254,7 +254,7 @@ class AnchorHeadSingle(nn.Module):
         box = box_preds.reshape(b, n_tot, -1).astype(jnp.float32)
         boxes = self.box_coder.decode(box, anchors[None])
         if dir_cls_preds is not None:
-            cfg = self.model_cfg
+            cfg = as_easy(self.model_cfg)
             dir_offset = float(cfg.DIR_OFFSET)
             dir_limit = float(cfg.DIR_LIMIT_OFFSET)
             num_bins = int(cfg.NUM_DIR_BINS)

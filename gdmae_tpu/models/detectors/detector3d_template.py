@@ -21,6 +21,7 @@ from ...config import as_easy
 from ...ops import iou_nms
 from ..backbones_2d.map_to_bev import HeightCompression, PointPillarScatter
 from ..backbones_2d.sst_bev_backbone import BaseBEVBackbone, SSTBEVBackbone
+from ..backbones_3d.spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
 from ..backbones_3d.spt_backbone import SPTBackbone, SPTBackboneMAE
 from ..dense_heads.anchor_head import AnchorHeadSingle
 from ..dense_heads.center_head import CenterHead
@@ -45,7 +46,9 @@ class DatasetMeta:
 
 
 VFE_MODULES = {"DynVFE": DynVFE, "PillarVFE": PillarVFE, "MeanVFE": MeanVFE}
-BACKBONE3D_MODULES = {"SPTBackbone": SPTBackbone, "SPTBackboneMAE": SPTBackboneMAE}
+BACKBONE3D_MODULES = {"SPTBackbone": SPTBackbone, "SPTBackboneMAE": SPTBackboneMAE,
+                      "VoxelBackBone8x": VoxelBackBone8x,
+                      "VoxelResBackBone8x": VoxelResBackBone8x}
 MAP_TO_BEV_MODULES = {"PointPillarScatter": PointPillarScatter,
                       "HeightCompression": HeightCompression}
 BACKBONE2D_MODULES = {"SSTBEVBackbone": SSTBEVBackbone, "BaseBEVBackbone": BaseBEVBackbone}
@@ -91,7 +94,7 @@ class Detector3DTemplate(nn.Module):
             self.backbone_3d = bb_cls(
                 model_cfg=cfg.BACKBONE_3D,
                 input_channels=num_feats,
-                grid_size=ds.grid_size[:2],
+                grid_size=ds.grid_size,
                 voxel_size=ds.voxel_size,
                 point_cloud_range=ds.point_cloud_range,
                 max_pillars=ds.max_pillars,

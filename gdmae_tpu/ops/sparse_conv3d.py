@@ -1,0 +1,165 @@
+"""Fixed-capacity sparse 3D convolution primitives.
+
+TPU-native replacement for spconv's SubMConv3d / SparseConv3d (reference
+pcdet/utils/spconv_utils.py + pcdet/models/backbones_3d/spconv_backbone.py):
+voxels live in a padded (V, 3) coordinate list + (V, C) features + mask.
+Neighbor lookup is a vectorized binary search over sorted linear indices
+(log2(V) steps, batched across all voxels x kernel taps), and the conv
+itself is one (V, K*Cin) x (K*Cin, Cout) matmul — MXU-shaped.  Strided
+sparse conv derives its output voxel set by sort-based dedup of the
+candidate output positions, exactly matching spconv's output-site rule.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def linearize(coords, shape):
+    """coords (V, 3) [iz, iy, ix] -> linear int32; invalid handled by caller."""
+    nz, ny, nx = shape
+    return (coords[:, 0] * ny + coords[:, 1]) * nx + coords[:, 2]
+
+
+class VoxelIndex(NamedTuple):
+    sorted_lin: jnp.ndarray  # (V,) linear ids sorted ascending (invalid = BIG)
+    order: jnp.ndarray  # (V,) original index per sorted slot
+
+
+BIG = jnp.iinfo(jnp.int32).max
+
+
+def build_index(coords, mask, shape) -> VoxelIndex:
+    lin = jnp.where(mask, linearize(coords, shape), BIG)
+    order = jnp.argsort(lin).astype(jnp.int32)
+    return VoxelIndex(lin[order], order)
+
+
+def lookup(index: VoxelIndex, queries, query_valid):
+    """Find voxel list positions of linear ids; -1 when absent."""
+    pos = jnp.searchsorted(index.sorted_lin, queries)
+    pos_c = jnp.clip(pos, 0, index.sorted_lin.shape[0] - 1)
+    found = (index.sorted_lin[pos_c] == queries) & query_valid
+    return jnp.where(found, index.order[pos_c], -1)
+
+
+def _kernel_offsets(kernel: Tuple[int, int, int]):
+    kz, ky, kx = kernel
+    offs = np.stack(np.meshgrid(
+        np.arange(kz), np.arange(ky), np.arange(kx), indexing="ij"),
+        axis=-1).reshape(-1, 3)
+    return jnp.asarray(offs, jnp.int32)  # (K, 3)
+
+
+def subm_conv3d(feats, coords, mask, shape, weight, kernel=(3, 3, 3)):
+    """Submanifold conv: output at input sites only (spconv SubMConv3d).
+
+    Args:
+        feats: (V, Cin); coords: (V, 3); mask: (V,); shape: (nz, ny, nx)
+        weight: (K, Cin, Cout) with K = prod(kernel), tap-major z,y,x.
+    Returns:
+        (V, Cout) features (masked).
+    """
+    v, cin = feats.shape
+    k = weight.shape[0]
+    offs = _kernel_offsets(kernel)  # (K, 3)
+    pad = (jnp.asarray(kernel, jnp.int32) - 1) // 2
+    index = build_index(coords, mask, shape)
+
+    nbr_coords = coords[:, None, :] + offs[None, :, :] - pad[None, None, :]
+    in_bounds = jnp.all(
+        (nbr_coords >= 0) & (nbr_coords < jnp.asarray(shape, jnp.int32)), axis=-1)
+    q = linearize(nbr_coords.reshape(-1, 3), shape)
+    idx = lookup(index, q, (in_bounds & mask[:, None]).reshape(-1))  # (V*K,)
+    safe = jnp.clip(idx, 0)
+    gathered = feats[safe] * (idx >= 0)[:, None].astype(feats.dtype)
+    gathered = gathered.reshape(v, k * cin)
+    out = gathered @ weight.reshape(k * cin, -1)
+    return out * mask[:, None].astype(out.dtype)
+
+
+def downsample_coords(coords, mask, shape, out_cap, kernel=(3, 3, 3),
+                      stride=(2, 2, 2), padding=(1, 1, 1)):
+    """Output voxel set of a strided sparse conv (spconv SparseConv3d rule:
+    every output site whose kernel footprint touches an input voxel).
+
+    Returns:
+        out_coords: (out_cap, 3) int32; out_mask: (out_cap,); num_out; and
+        the new spatial shape.
+    """
+    kernel = np.asarray(kernel)
+    stride = np.asarray(stride)
+    padding = np.asarray(padding)
+    shape_np = np.asarray(shape)
+    out_shape = tuple(((shape_np + 2 * padding - kernel) // stride + 1).tolist())
+
+    offs = _kernel_offsets(tuple(kernel))  # (K, 3)
+    st = jnp.asarray(stride, jnp.int32)
+    pd = jnp.asarray(padding, jnp.int32)
+    num = coords[:, None, :] + pd[None, None, :] - offs[None, :, :]  # (V, K, 3)
+    divisible = jnp.all(num % st[None, None, :] == 0, axis=-1)
+    o = num // st[None, None, :]
+    in_bounds = jnp.all(
+        (o >= 0) & (o < jnp.asarray(out_shape, jnp.int32)), axis=-1)
+    valid = divisible & in_bounds & mask[:, None]  # (V, K)
+
+    lin = jnp.where(
+        valid, linearize(o.reshape(-1, 3), out_shape).reshape(valid.shape), BIG)
+    flat = lin.reshape(-1)
+    srt = jnp.sort(flat)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), srt[1:] != srt[:-1]]) & (srt < BIG)
+    rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    num_out = is_first.sum()
+    slot = jnp.where(is_first & (rank < out_cap), rank, out_cap)
+    out_lin = jnp.full((out_cap + 1,), 0, jnp.int32).at[slot].set(
+        jnp.where(srt < BIG, srt, 0), mode="drop")[:out_cap]
+    out_mask = jnp.arange(out_cap) < jnp.minimum(num_out, out_cap)
+    nzo, nyo, nxo = out_shape
+    oz = out_lin // (nyo * nxo)
+    oy = (out_lin // nxo) % nyo
+    ox = out_lin % nxo
+    out_coords = jnp.stack([oz, oy, ox], axis=-1) * out_mask[:, None]
+    return out_coords, out_mask, num_out, out_shape
+
+
+def sparse_conv3d(feats, coords, mask, shape, weight, out_coords, out_mask,
+                  out_shape, kernel=(3, 3, 3), stride=(2, 2, 2),
+                  padding=(1, 1, 1)):
+    """Strided sparse conv: gathers inputs at ``out*stride - pad + tap``.
+
+    weight: (K, Cin, Cout).
+    """
+    vo = out_coords.shape[0]
+    cin = feats.shape[1]
+    k = weight.shape[0]
+    offs = _kernel_offsets(kernel)
+    st = jnp.asarray(stride, jnp.int32)
+    pd = jnp.asarray(padding, jnp.int32)
+    index = build_index(coords, mask, shape)
+
+    in_pos = out_coords[:, None, :] * st[None, None, :] - pd[None, None, :] \
+        + offs[None, :, :]  # (Vo, K, 3)
+    in_bounds = jnp.all(
+        (in_pos >= 0) & (in_pos < jnp.asarray(shape, jnp.int32)), axis=-1)
+    q = linearize(in_pos.reshape(-1, 3), shape)
+    idx = lookup(index, q, (in_bounds & out_mask[:, None]).reshape(-1))
+    safe = jnp.clip(idx, 0)
+    gathered = feats[safe] * (idx >= 0)[:, None].astype(feats.dtype)
+    gathered = gathered.reshape(vo, k * cin)
+    out = gathered @ weight.reshape(k * cin, -1)
+    return out * out_mask[:, None].astype(out.dtype)
+
+
+def to_dense(feats, coords, mask, shape):
+    """Sparse voxel list -> dense (nz, ny, nx, C) (spconv .dense())."""
+    nz, ny, nx = shape
+    c = feats.shape[1]
+    lin = jnp.where(mask, linearize(coords, shape), nz * ny * nx)
+    canvas = jnp.zeros((nz * ny * nx + 1, c), feats.dtype)
+    canvas = canvas.at[lin].set(feats, mode="drop")
+    return canvas[:-1].reshape(nz, ny, nx, c)

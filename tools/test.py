@@ -1,0 +1,155 @@
+"""Evaluation CLI (reference tools/test.py + tools/eval_utils/eval_utils.py).
+
+Loads a checkpoint, runs the jitted eval step over the test split, converts
+fixed-capacity device predictions to per-frame annotation dicts via the
+dataset's ``generate_prediction_dicts``, and scores them with the official
+protocol (``dataset.evaluation``).
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import pickle
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from gdmae_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file
+from gdmae_tpu.utils import common_utils
+
+
+def parse_config():
+    parser = argparse.ArgumentParser(description="gdmae_tpu evaluation")
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--save_to_file", action="store_true")
+    parser.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
+    args = parser.parse_args()
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    cfg.TAG = Path(args.cfg_file).stem
+    cfg.EXP_GROUP_PATH = "/".join(args.cfg_file.split("/")[1:-1])
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def eval_one_epoch(model, variables, dataloader, dataset, class_names, logger,
+                   result_dir=None):
+    """Reference eval_utils.eval_one_epoch (:23-130)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdmae_tpu.runtime import train as train_lib
+
+    eval_step = train_lib.make_eval_step(model)
+    det_annos = []
+    infer_times = []
+    for batch in dataloader:
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                        if isinstance(v, np.ndarray)}
+        t0 = time.perf_counter()
+        out = eval_step(variables["params"], variables.get("batch_stats", {}),
+                        device_batch)
+        boxes = np.asarray(out["final_boxes"])
+        scores = np.asarray(out["final_scores"])
+        labels = np.asarray(out["final_labels"])
+        valid = np.asarray(out["final_valid"])
+        infer_times.append((time.perf_counter() - t0) / len(boxes))
+
+        pred_dicts = []
+        for bi in range(len(boxes)):
+            m = valid[bi]
+            pred_dicts.append({
+                "pred_boxes": boxes[bi][m][:, :7],
+                "pred_scores": scores[bi][m],
+                "pred_labels": labels[bi][m].astype(np.int64),
+            })
+        annos = dataset.generate_prediction_dicts(
+            batch, pred_dicts, class_names,
+            output_path=result_dir if result_dir else None)
+        det_annos += annos
+
+    logger.info("p50 per-scan latency: %.1f ms",
+                1000 * float(np.median(infer_times)))
+    result_str, result_dict = dataset.evaluation(det_annos, class_names)
+    if result_str:
+        logger.info(result_str)
+    return det_annos, result_dict
+
+
+def main():
+    args, cfg_ = parse_config()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gdmae_tpu.datasets import build_dataloader
+    from gdmae_tpu.models.detectors.detector3d_template import DatasetMeta, build_network
+    from gdmae_tpu.runtime import checkpoint as ckpt_lib
+    from gdmae_tpu.runtime import train as train_lib
+
+    np.random.seed(1024)
+    batch_size = args.batch_size or cfg_.OPTIMIZATION.BATCH_SIZE_PER_GPU
+    output_dir = REPO / "output" / cfg_.EXP_GROUP_PATH / cfg_.TAG / args.extra_tag
+    result_dir = output_dir / "eval"
+    result_dir.mkdir(parents=True, exist_ok=True)
+    log_file = result_dir / f"log_eval_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt"
+    logger = common_utils.create_logger(log_file)
+
+    data_path = Path(cfg_.DATA_CONFIG.DATA_PATH)
+    if not data_path.is_absolute():
+        data_path = (REPO / "tools" / data_path).resolve()
+    dataset, dataloader, _ = build_dataloader(
+        dataset_cfg=cfg_.DATA_CONFIG, class_names=cfg_.CLASS_NAMES,
+        batch_size=batch_size, root_path=data_path, workers=args.workers,
+        logger=logger, training=False)
+
+    meta = DatasetMeta(
+        class_names=cfg_.CLASS_NAMES,
+        point_cloud_range=cfg_.DATA_CONFIG.POINT_CLOUD_RANGE,
+        voxel_size=dataset.voxel_size,
+        grid_size=dataset.grid_size,
+        num_point_features=dataset.point_feature_encoder.num_point_features,
+        max_points=dataset.max_points,
+        max_pillars=dataset.max_pillars,
+    )
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = build_network(cfg_.MODEL, num_class=len(cfg_.CLASS_NAMES),
+                          dataset=meta, dtype=dtype)
+
+    example = next(iter(dataloader))
+    device_batch = {k: jnp.asarray(v) for k, v in example.items()
+                    if isinstance(v, np.ndarray)}
+    params, batch_stats = train_lib.init_model(model, device_batch)
+
+    ckpt = args.ckpt or ckpt_lib.latest_checkpoint(output_dir / "ckpt")
+    assert ckpt is not None, "no checkpoint found"
+    with open(ckpt, "rb") as f:
+        payload = pickle.load(f)
+    from flax import serialization
+    params = serialization.from_bytes(params, payload["params"])
+    batch_stats = serialization.from_bytes(batch_stats, payload["batch_stats"])
+    logger.info("loaded %s (epoch %s)", ckpt, payload.get("epoch"))
+
+    det_annos, result_dict = eval_one_epoch(
+        model, {"params": params, "batch_stats": batch_stats}, dataloader,
+        dataset, cfg_.CLASS_NAMES, logger,
+        result_dir=result_dir if args.save_to_file else None)
+
+    with open(result_dir / "result.pkl", "wb") as f:
+        pickle.dump(det_annos, f)
+    for k, v in (result_dict or {}).items():
+        logger.info("%s: %.4f", k, v)
+
+
+if __name__ == "__main__":
+    main()

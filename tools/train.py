@@ -1,0 +1,178 @@
+"""Training CLI (reference tools/train.py).
+
+Single-host entry; multi-host via ``jax.distributed.initialize`` when
+JAX_COORDINATOR_ADDRESS is set.  The hot loop lives in
+gdmae_tpu/runtime/train.py as one jitted, donated step over a data mesh.
+
+Usage:
+    python tools/train.py --cfg_file cfgs/kitti_models/gd_mae.yaml \
+        [--batch_size N] [--epochs N] [--pretrained_model ckpt.pkl] \
+        [--set KEY VALUE ...]
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from gdmae_tpu.config import cfg, cfg_from_list, cfg_from_yaml_file, log_config_to_file
+from gdmae_tpu.utils import common_utils
+
+
+def parse_config():
+    parser = argparse.ArgumentParser(description="gdmae_tpu training")
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--pretrained_model", type=str, default=None)
+    parser.add_argument("--fix_random_seed", action="store_true")
+    parser.add_argument("--max_ckpt_save_num", type=int, default=30)
+    parser.add_argument("--ckpt_save_interval", type=int, default=1)
+    parser.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER,
+                        default=None)
+    args = parser.parse_args()
+
+    cfg_from_yaml_file(args.cfg_file, cfg)
+    cfg.TAG = Path(args.cfg_file).stem
+    cfg.EXP_GROUP_PATH = "/".join(args.cfg_file.split("/")[1:-1])
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def main():
+    args, cfg_ = parse_config()
+
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+    from gdmae_tpu.datasets import build_dataloader
+    from gdmae_tpu.models.detectors.detector3d_template import DatasetMeta, build_network
+    from gdmae_tpu.parallel import mesh as mesh_lib
+    from gdmae_tpu.runtime import checkpoint as ckpt_lib
+    from gdmae_tpu.runtime import optimization
+    from gdmae_tpu.runtime import train as train_lib
+
+    if args.fix_random_seed:
+        common_utils.set_random_seed(666 + jax.process_index())
+
+    batch_size = args.batch_size or cfg_.OPTIMIZATION.BATCH_SIZE_PER_GPU
+    total_epochs = args.epochs or cfg_.OPTIMIZATION.NUM_EPOCHS
+
+    output_dir = REPO / "output" / cfg_.EXP_GROUP_PATH / cfg_.TAG / args.extra_tag
+    ckpt_dir = output_dir / "ckpt"
+    output_dir.mkdir(parents=True, exist_ok=True)
+    log_file = output_dir / f"log_train_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt"
+    logger = common_utils.create_logger(log_file, rank=jax.process_index())
+    logger.info("**********************Start logging**********************")
+    log_config_to_file(cfg_, logger=logger)
+
+    data_path = Path(cfg_.DATA_CONFIG.DATA_PATH)
+    if not data_path.is_absolute():
+        data_path = (REPO / "tools" / data_path).resolve()
+    dataset, dataloader, sampler = build_dataloader(
+        dataset_cfg=cfg_.DATA_CONFIG,
+        class_names=cfg_.CLASS_NAMES,
+        batch_size=batch_size,
+        root_path=data_path,
+        workers=args.workers,
+        logger=logger,
+        training=True,
+        total_epochs=total_epochs,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+
+    meta = DatasetMeta(
+        class_names=cfg_.CLASS_NAMES,
+        point_cloud_range=cfg_.DATA_CONFIG.POINT_CLOUD_RANGE,
+        voxel_size=dataset.voxel_size,
+        grid_size=dataset.grid_size,
+        num_point_features=dataset.point_feature_encoder.num_point_features,
+        max_points=dataset.max_points,
+        max_pillars=dataset.max_pillars,
+    )
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = build_network(cfg_.MODEL, num_class=len(cfg_.CLASS_NAMES),
+                          dataset=meta, dtype=dtype)
+
+    # build example batch for init
+    example = next(iter(dataloader))
+    device_batch = {k: jnp.asarray(v) for k, v in example.items()
+                    if isinstance(v, np.ndarray)}
+    params, batch_stats = train_lib.init_model(model, device_batch)
+    n_params = sum(np.prod(np.shape(x)) for x in jax.tree_util.tree_leaves(params))
+    logger.info("model params: %.2fM", n_params / 1e6)
+
+    iters_per_epoch = len(dataloader)
+    tx, lr_fn = optimization.build_optimizer(
+        cfg_.OPTIMIZATION, iters_per_epoch, total_epochs)
+    freeze = cfg_.MODEL.get("FREEZE_LAYERS", None)
+    if freeze:
+        tx = optimization.apply_freeze(tx, params, freeze)
+    state = train_lib.TrainState.create(params, batch_stats, tx)
+
+    start_epoch = 0
+    if args.pretrained_model:
+        new_params, new_bs = ckpt_lib.load_params_partial(
+            args.pretrained_model, state.params, state.batch_stats,
+            logger=logger, rename_map={"encoder": "backbone_3d"})
+        state = state.replace(params=new_params, batch_stats=new_bs)
+    latest = ckpt_lib.latest_checkpoint(ckpt_dir) if args.ckpt is None else args.ckpt
+    if latest is not None and Path(str(latest)).exists():
+        state, start_epoch, _ = ckpt_lib.load_checkpoint(latest, state)
+        logger.info("resumed from %s (epoch %d)", latest, start_epoch)
+
+    mesh = mesh_lib.make_mesh()
+    step_fn = train_lib.make_train_step(model)
+    pstep = mesh_lib.make_parallel_train_step(step_fn, mesh)
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
+
+    key = jax.random.PRNGKey(int(time.time()) % 2 ** 31)
+    meter = common_utils.AverageMeter()
+    for epoch in range(start_epoch, total_epochs):
+        dataset.set_epoch(epoch, total_epochs)
+        if sampler is not None:
+            sampler.set_epoch(epoch)
+        t_end = time.perf_counter()
+        for it, batch in enumerate(dataloader):
+            device_batch = {k: v for k, v in batch.items()
+                            if isinstance(v, np.ndarray)}
+            device_batch = mesh_lib.shard_batch(device_batch, mesh)
+            data_time = time.perf_counter() - t_end
+            key, sub = jax.random.split(key)
+            state, metrics = pstep(state, device_batch, sub)
+            loss = float(metrics["loss"])
+            batch_time = time.perf_counter() - t_end
+            t_end = time.perf_counter()
+            meter.update(batch_time)
+            if it % 20 == 0:
+                cur_lr = float(lr_fn(int(state.step)))
+                logger.info(
+                    "epoch %d iter %d/%d loss=%.4f lr=%.2e d_time=%.2fs "
+                    "b_time=%.2fs", epoch, it, iters_per_epoch, loss, cur_lr,
+                    data_time, batch_time)
+        if jax.process_index() == 0 and (epoch + 1) % args.ckpt_save_interval == 0:
+            path = ckpt_lib.save_checkpoint(
+                state, ckpt_dir, epoch + 1, max_ckpt_save_num=args.max_ckpt_save_num)
+            logger.info("saved %s", path)
+    logger.info("**********************End training**********************")
+
+
+if __name__ == "__main__":
+    main()
