@@ -22,9 +22,12 @@ from ...ops import iou_nms
 from ..backbones_2d.map_to_bev import HeightCompression, PointPillarScatter
 from ..backbones_2d.sst_bev_backbone import BaseBEVBackbone, SSTBEVBackbone
 from ..backbones_3d.spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
+from ..backbones_3d.pointnet2_backbone import PointNet2MSG, PointNet2SAMSG
 from ..backbones_3d.spt_backbone import SPTBackbone, SPTBackboneMAE
 from ..dense_heads.anchor_head import AnchorHeadSingle
 from ..dense_heads.center_head import CenterHead
+from ..dense_heads.point_head_vote import PointHeadVote
+from ..img_backbones.dla import DLASeg
 from ..roi_heads.graphrcnn_head import GraphRCNNHead
 from ..vfe.dyn_vfe import DynVFE
 from ..vfe.pillar_vfe import MeanVFE, PillarVFE
@@ -48,7 +51,11 @@ class DatasetMeta:
 VFE_MODULES = {"DynVFE": DynVFE, "PillarVFE": PillarVFE, "MeanVFE": MeanVFE}
 BACKBONE3D_MODULES = {"SPTBackbone": SPTBackbone, "SPTBackboneMAE": SPTBackboneMAE,
                       "VoxelBackBone8x": VoxelBackBone8x,
-                      "VoxelResBackBone8x": VoxelResBackBone8x}
+                      "VoxelResBackBone8x": VoxelResBackBone8x,
+                      "PointNet2MSG": PointNet2MSG,
+                      "PointNet2SAMSG": PointNet2SAMSG}
+POINT_HEAD_MODULES = {"PointHeadVote": PointHeadVote}
+IMG_BACKBONE_MODULES = {"DLASeg": DLASeg}
 MAP_TO_BEV_MODULES = {"PointPillarScatter": PointPillarScatter,
                       "HeightCompression": HeightCompression}
 BACKBONE2D_MODULES = {"SSTBEVBackbone": SSTBEVBackbone, "BaseBEVBackbone": BaseBEVBackbone}
@@ -68,14 +75,20 @@ class Detector3DTemplate(nn.Module):
     def setup(self):
         cfg = as_easy(self.model_cfg)
         ds = self.dataset
+        self.img_backbone = None
         self.vfe = None
         self.backbone_3d = None
         self.map_to_bev = None
         self.backbone_2d = None
         self.dense_head = None
+        self.point_head = None
         self.roi_head = None
 
         num_feats = ds.num_point_features
+        if cfg.get("IMG_BACKBONE", None) is not None:
+            self.img_backbone = IMG_BACKBONE_MODULES[cfg.IMG_BACKBONE.NAME](
+                model_cfg=cfg.IMG_BACKBONE, dtype=self.dtype)
+
         if cfg.get("VFE", None) is not None:
             vfe_cls = VFE_MODULES[cfg.VFE.NAME]
             self.vfe = vfe_cls(
@@ -83,7 +96,7 @@ class Detector3DTemplate(nn.Module):
                 num_point_features=num_feats,
                 point_cloud_range=ds.point_cloud_range,
                 voxel_size=ds.voxel_size,
-                grid_size=ds.grid_size[:2],
+                grid_size=ds.grid_size,
                 max_pillars=ds.max_pillars,
                 dtype=self.dtype,
             )
@@ -136,6 +149,19 @@ class Detector3DTemplate(nn.Module):
                 head_kwargs["voxel_size"] = ds.voxel_size
             self.dense_head = head_cls(**head_kwargs)
 
+        if cfg.get("POINT_HEAD", None) is not None:
+            ph_cls = POINT_HEAD_MODULES[cfg.POINT_HEAD.NAME]
+            self.point_head = ph_cls(
+                model_cfg=cfg.POINT_HEAD,
+                input_channels=num_feats,
+                num_class=self.num_class if not cfg.POINT_HEAD.get("CLASS_AGNOSTIC", False) else 1,
+                class_names=ds.class_names,
+                grid_size=ds.grid_size[:2],
+                point_cloud_range=ds.point_cloud_range,
+                predict_boxes_when_training=cfg.get("ROI_HEAD", None) is not None,
+                dtype=self.dtype,
+            )
+
         if cfg.get("ROI_HEAD", None) is not None:
             roi_cls = ROI_HEAD_MODULES[cfg.ROI_HEAD.NAME]
             self.roi_head = roi_cls(
@@ -146,8 +172,12 @@ class Detector3DTemplate(nn.Module):
             )
 
     def run_stages(self, batch_dict, train: bool):
-        for stage in (self.vfe, self.backbone_3d, self.map_to_bev,
-                      self.backbone_2d, self.dense_head, self.roi_head):
+        # shallow-copy: stages mutate the dict; the caller's input batch must
+        # stay pristine (it may be re-fed to a jitted step)
+        batch_dict = dict(batch_dict)
+        for stage in (self.img_backbone, self.vfe, self.backbone_3d, self.map_to_bev,
+                      self.backbone_2d, self.dense_head, self.point_head,
+                      self.roi_head):
             if stage is not None:
                 batch_dict = stage(batch_dict, train=train)
         return batch_dict
@@ -256,6 +286,18 @@ class SECONDNet(Detector3DTemplate):
         return batch_dict
 
 
+class SSD3D(Detector3DTemplate):
+    """Reference detectors/ssd3d.py — loss from the point head (3DSSD)."""
+
+    def __call__(self, batch_dict, train: bool = True):
+        batch_dict = self.run_stages(batch_dict, train)
+        if train:
+            batch_dict["loss"] = batch_dict["loss_point"]
+        else:
+            batch_dict = self.post_processing(batch_dict)
+        return batch_dict
+
+
 class GraphRCNN(Detector3DTemplate):
     """Reference detectors/graph_rcnn.py — two-stage; combines dense-head and
     RCNN losses.  FREEZE_LAYERS is honored by the optimizer mask
@@ -266,8 +308,11 @@ class GraphRCNN(Detector3DTemplate):
         if train:
             loss = batch_dict.get("loss_rcnn", 0.0)
             freeze = as_easy(self.model_cfg).get("FREEZE_LAYERS", None)
-            if "loss_rpn" in batch_dict and not freeze:
-                loss = loss + batch_dict["loss_rpn"]
+            if not freeze:
+                if "loss_rpn" in batch_dict:
+                    loss = loss + batch_dict["loss_rpn"]
+                if "loss_point" in batch_dict:
+                    loss = loss + batch_dict["loss_point"]
             batch_dict["loss"] = loss
         else:
             batch_dict = self.post_processing(batch_dict)
@@ -280,6 +325,7 @@ DETECTOR_MODULES = {
     "CenterPoint": CenterPoint,
     "SECONDNet": SECONDNet,
     "GraphRCNN": GraphRCNN,
+    "SSD3D": SSD3D,
 }
 
 

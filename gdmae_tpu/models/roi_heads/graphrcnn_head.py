@@ -19,6 +19,7 @@ from flax import linen as nn
 from ...config import as_easy
 from ...ops import pointnet
 from ...utils import common_utils
+from ..fusion_layers.point_sample import PointSample
 from ..model_utils.blocks import MaskedBatchNorm
 from .roi_head_template import RoIHeadTemplate
 
@@ -155,6 +156,26 @@ class GraphRCNNHead(RoIHeadTemplate):
         extra = jnp.broadcast_to(corners[:, :, None, :], (b, m, num_fps, 6))
         pooled = jnp.concatenate([local, feats[..., 3:], extra], axis=-1)
         pooled = pooled * pt_valid[..., None].astype(pooled.dtype)
+
+        img_cfg = cfg.get("IMG_CONFIG", None)
+        if img_cfg is not None:
+            img = batch_dict["image_features"]
+            for li, ch in enumerate([int(c) for c in img_cfg.MLPS]):
+                img = nn.Conv(ch, (1, 1), use_bias=False, dtype=self.dtype,
+                              name=f"img_conv{li}")(img)
+                img = MaskedBatchNorm(dtype=self.dtype, name=f"img_bn{li}")(
+                    img, use_running_average=not train)
+                img = nn.relu(img)
+            batch_dict = dict(batch_dict)
+            batch_dict["image_features"] = img
+            # global (pre-canonical) point coords per roi
+            glob = feats[..., :3].reshape(b, m * num_fps, 3)
+            batch_dict["sampled_points"] = glob
+            img_feats = PointSample(dtype=self.dtype, name="point_sample")(batch_dict)
+            img_feats = img_feats.reshape(b, m, num_fps, -1)
+            pooled = jnp.concatenate(
+                [pooled, img_feats * pt_valid[..., None].astype(img_feats.dtype)],
+                axis=-1)
 
         g = b * m
         gnn_cfg = dict(cfg.ATTN_GNN_CONFIG)

@@ -46,6 +46,7 @@ class DynVFE(nn.Module):
         b, n, _ = points.shape
         m = self.max_pillars
         cfg = as_easy(self.model_cfg)
+        is_3d = len(self.grid_size) > 2 and int(self.grid_size[2]) > 1
 
         pillarize = jax.vmap(
             lambda p, pm: scatter.dynamic_pillarize(
@@ -113,17 +114,22 @@ class DynVFE(nn.Module):
             )
             f_cluster = points[..., :3] - pil_of_pt
 
+            cdim = res.pillar_coords.shape[-1]
             coords_pad = jnp.concatenate(
-                [res.pillar_coords, jnp.zeros((b, 1, 2), jnp.int32)], axis=1
+                [res.pillar_coords, jnp.zeros((b, 1, cdim), jnp.int32)], axis=1
             )
             cyx = jnp.take_along_axis(
                 coords_pad, res.point_pillar[..., None].clip(0, m), axis=1
-            )  # (B, N, 2) [iy, ix]
+            )  # (B, N, 2|3) [(iz,) iy, ix]
+            z_center = (
+                (cyx[..., -3].astype(points.dtype) + 0.5) * vs[2] + pc[2]
+                if cdim == 3 else 0.5 * vs[2] + pc[2]
+            )
             f_center = jnp.stack(
                 [
-                    points[..., 0] - ((cyx[..., 1].astype(points.dtype) + 0.5) * vs[0] + pc[0]),
-                    points[..., 1] - ((cyx[..., 0].astype(points.dtype) + 0.5) * vs[1] + pc[1]),
-                    points[..., 2] - (0.5 * vs[2] + pc[2]),
+                    points[..., 0] - ((cyx[..., -1].astype(points.dtype) + 0.5) * vs[0] + pc[0]),
+                    points[..., 1] - ((cyx[..., -2].astype(points.dtype) + 0.5) * vs[1] + pc[1]),
+                    points[..., 2] - z_center,
                 ],
                 axis=-1,
             )
@@ -171,7 +177,12 @@ class DynVFE(nn.Module):
 
         batch_dict["pillar_features"] = x
         batch_dict["voxel_features"] = x
-        batch_dict["pillar_coords"] = res.pillar_coords  # (B, M, 2) [iy, ix]
+        if is_3d:
+            batch_dict["voxel_coords"] = res.pillar_coords  # (B, V, 3) [iz, iy, ix]
+            batch_dict["voxel_mask"] = res.pillar_mask
+            batch_dict["pillar_coords"] = res.pillar_coords[..., 1:]
+        else:
+            batch_dict["pillar_coords"] = res.pillar_coords  # (B, M, 2) [iy, ix]
         batch_dict["pillar_mask"] = res.pillar_mask
         batch_dict["point_pillar"] = res.point_pillar
         batch_dict["point_valid"] = pt_valid

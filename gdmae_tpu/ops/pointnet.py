@@ -163,19 +163,19 @@ def dvs_fps_sample(points_xyz, point_valid, boxes, num_candidates: int,
     dist = jnp.linalg.norm(boxes[:, :2], axis=-1)
     vsize = lambda_ * (1.0 + dist / delta)  # (M,)
 
-    vx = jnp.floor(lx / vsize[:, None]).astype(jnp.int32)
-    vy = jnp.floor(ly / vsize[:, None]).astype(jnp.int32)
-    vz = jnp.floor(lz / vsize[:, None]).astype(jnp.int32)
-    # voxel key; rank points within each (box, voxel) by original order and
-    # keep only the first point of each voxel (DVS dedup)
-    key = (vx.astype(jnp.int64) * 73856093) ^ (vy.astype(jnp.int64) * 19349663) \
-        ^ (vz.astype(jnp.int64) * 83492791)
-    key = jnp.where(inside, key, jnp.int64(2 ** 62))
+    vx = jnp.clip(jnp.floor(lx / vsize[:, None]).astype(jnp.int32) + 512, 0, 1023)
+    vy = jnp.clip(jnp.floor(ly / vsize[:, None]).astype(jnp.int32) + 512, 0, 1023)
+    vz = jnp.clip(jnp.floor(lz / vsize[:, None]).astype(jnp.int32) + 512, 0, 1023)
+    # packed base-1024 voxel key (int32-safe: < 2^30); rank points within each
+    # (box, voxel) by original order and keep only the first (DVS dedup)
+    SENT = jnp.int32(2 ** 31 - 1)
+    key = (vx * 1024 + vy) * 1024 + vz
+    key = jnp.where(inside, key, SENT)
     order = jnp.argsort(key, axis=-1, stable=True)  # (M, N)
     key_sorted = jnp.take_along_axis(key, order, axis=-1)
     is_first = jnp.concatenate(
         [jnp.ones((m, 1), bool), key_sorted[:, 1:] != key_sorted[:, :-1]],
-        axis=-1) & (key_sorted < 2 ** 62)
+        axis=-1) & (key_sorted < SENT)
 
     # candidate list: first-of-voxel points, capped at num_candidates
     cand_rank = jnp.cumsum(is_first.astype(jnp.int32), axis=-1) - 1
@@ -202,3 +202,40 @@ def dvs_fps_sample(points_xyz, point_valid, boxes, num_candidates: int,
     wrapped = jnp.take_along_axis(out_idx, ks % safe_cnt, axis=-1)
     out_idx = jnp.where(ks < safe_cnt, out_idx, wrapped)
     return out_idx, cnt.astype(jnp.int32)
+
+
+def masked_fps_matrix(dist_matrix, valid, num_samples: int):
+    """Farthest point sampling driven by a precomputed distance matrix
+    (reference furthest_point_sample_matrix, sampling_gpu.cu:263 — used by
+    F-FPS / fusion sampling in 3DSSD-style backbones).
+
+    Args:
+        dist_matrix: (N, N); valid: (N,).
+    Returns:
+        idx: (num_samples,) int32.
+    """
+    n = dist_matrix.shape[0]
+    d = jnp.where(valid, BIG, -BIG)
+
+    def body(i, state):
+        dist, idx = state
+        last = idx[i - 1]
+        nd = dist_matrix[last]
+        dist = jnp.minimum(dist, jnp.where(valid, nd, -BIG))
+        idx = idx.at[i].set(jnp.argmax(dist).astype(jnp.int32))
+        return dist, idx
+
+    first = jnp.argmax(valid).astype(jnp.int32)
+    idx0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(first)
+    _, idx = jax.lax.fori_loop(1, num_samples, body, (d, idx0))
+    return idx
+
+
+def calc_dist_matrix_for_sampling(xyz, features=None, gamma: float = 1.0):
+    """Combined coordinate + feature distance matrix for F-FPS (reference
+    pointnet2_utils.calc_dist_matrix_for_sampling)."""
+    d = jnp.sum((xyz[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
+    if features is not None:
+        fd = jnp.sum((features[:, None, :] - features[None, :, :]) ** 2, axis=-1)
+        d = d + gamma * fd
+    return d

@@ -124,6 +124,7 @@ def dynamic_pillarize(points_xyz, point_mask, pc_range, voxel_size, grid_size, m
     """
     n = points_xyz.shape[0]
     nx, ny = int(grid_size[0]), int(grid_size[1])
+    nz = int(grid_size[2]) if len(grid_size) > 2 else 1
     pc_range = jnp.asarray(pc_range, dtype=points_xyz.dtype)
     voxel_size = jnp.asarray(voxel_size, dtype=points_xyz.dtype)
 
@@ -134,11 +135,11 @@ def dynamic_pillarize(points_xyz, point_mask, pc_range, voxel_size, grid_size, m
     iy = jnp.floor(fy).astype(jnp.int32)
     iz = jnp.floor(fz).astype(jnp.int32)
     in_range = (
-        (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & (iz >= 0) & (iz < 1)
+        (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & (iz >= 0) & (iz < nz)
         & point_mask
     )
-    sentinel = nx * ny
-    pid = jnp.where(in_range, iy * nx + ix, sentinel)
+    sentinel = nx * ny * nz
+    pid = jnp.where(in_range, (iz * ny + iy) * nx + ix, sentinel)
 
     order = jnp.argsort(pid, stable=True)
     sorted_pid = pid[order]
@@ -157,9 +158,16 @@ def dynamic_pillarize(points_xyz, point_mask, pc_range, voxel_size, grid_size, m
     coords_flat = coords_flat.at[jnp.where(is_first, slot_sorted, max_pillars)].set(
         jnp.where(is_first, sorted_pid, sentinel))
     pillar_mask = coords_flat[:max_pillars] < sentinel
-    piy = jnp.where(pillar_mask, coords_flat[:max_pillars] // nx, 0)
-    pix = jnp.where(pillar_mask, coords_flat[:max_pillars] % nx, 0)
-    pillar_coords = jnp.stack([piy, pix], axis=-1)
+    lin = jnp.where(pillar_mask, coords_flat[:max_pillars], 0)
+    if nz > 1:
+        piz = lin // (nx * ny)
+        piy = (lin // nx) % ny
+        pix = lin % nx
+        pillar_coords = jnp.stack([piz, piy, pix], axis=-1)
+    else:
+        piy = lin // nx
+        pix = lin % nx
+        pillar_coords = jnp.stack([piy, pix], axis=-1)
 
     starts = jnp.zeros((max_pillars + 1,), jnp.int32).at[
         jnp.where(is_first, slot_sorted, max_pillars)

@@ -208,3 +208,57 @@ def in_hull(p, hull):
         return hull.find_simplex(p) >= 0
     except Exception:
         return np.zeros(p.shape[0], dtype=bool)
+
+
+def generate_centerness_mask(points, boxes):
+    """Per-point centerness inside its box (reference box_utils.py:301-321):
+    cube-root of the product of min/max margin ratios along each local axis.
+
+    Args:
+        points: (N, 3); boxes: (N, 7) — box matched to each point.
+    Returns:
+        (N,) centerness in [0, 1].
+    """
+    xp = _xp(points, boxes)
+    offset = points - boxes[:, 0:3]
+    c, s = xp.cos(-boxes[:, 6]), xp.sin(-boxes[:, 6])
+    lx = c * offset[:, 0] - s * offset[:, 1]
+    ly = s * offset[:, 0] + c * offset[:, 1]
+    local = xp.stack([lx, ly, offset[:, 2]], axis=-1)
+    half = boxes[:, 3:6] / 2
+    dist_pos = half - local   # distance to +face
+    dist_neg = half + local   # distance to -face
+    dmin = xp.minimum(dist_pos, dist_neg)
+    dmax = xp.maximum(dist_pos, dist_neg)
+    ratio = dmin / xp.clip(dmax, 1e-6, None)
+    centerness = ratio[:, 0] * ratio[:, 1] * ratio[:, 2]
+    centerness = xp.clip(centerness, 0.0, None) ** (1.0 / 3.0)
+    return centerness
+
+
+def points_in_boxes_first_idx(points, boxes, box_valid):
+    """Index of the first valid box containing each point; -1 if none.
+
+    Vectorized replacement for roiaware_pool3d points_in_boxes_gpu
+    (reference roiaware_pool3d_kernel.cu:313-339).
+
+    Args:
+        points: (N, 3); boxes: (M, 7); box_valid: (M,).
+    Returns:
+        (N,) int32.
+    """
+    xp = _xp(points, boxes)
+    rel = points[:, None, :] - boxes[None, :, 0:3]  # (N, M, 3)
+    c, s = xp.cos(-boxes[:, 6]), xp.sin(-boxes[:, 6])
+    lx = c[None, :] * rel[..., 0] - s[None, :] * rel[..., 1]
+    ly = s[None, :] * rel[..., 0] + c[None, :] * rel[..., 1]
+    lz = rel[..., 2]
+    half = boxes[:, 3:6] / 2
+    inside = (
+        (xp.abs(lx) <= half[None, :, 0]) & (xp.abs(ly) <= half[None, :, 1])
+        & (xp.abs(lz) <= half[None, :, 2]) & box_valid[None, :]
+    )
+    m = boxes.shape[0]
+    first = xp.where(inside, xp.arange(m)[None, :], m).min(axis=-1)
+    return xp.where(first < m, first, -1).astype(np.int32) if xp is np \
+        else xp.where(first < m, first, -1).astype("int32")

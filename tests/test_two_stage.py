@@ -1,0 +1,126 @@
+"""Two-stage GraphRCNN (CenterHead first stage + DFVS/GNN refinement) and
+checkpoint partial-restore (pretrain -> finetune handoff) tests."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gdmae_tpu.config import EasyDict
+from gdmae_tpu.models.detectors.detector3d_template import DatasetMeta, build_network
+from tests.test_center_head import center_model_cfg, small_meta, synth_batch
+
+
+def two_stage_cfg():
+    cfg = center_model_cfg(with_iou=False)
+    cfg["NAME"] = "GraphRCNN"
+    cfg["ROI_HEAD"] = EasyDict({
+        "NAME": "GraphRCNNHead",
+        "CLASS_AGNOSTIC": True,
+        "NMS_CONFIG": {"TRAIN": None, "TEST": None},
+        "DFVS_CONFIG": {
+            "NUM_DVS_POINTS": 64, "NUM_FPS_POINTS": 16, "HASH_SIZE": 4099,
+            "LAMBDA": 0.18, "DELTA": 50,
+            "POOL_EXTRA_WIDTH": [0.8, 0.8, 0.8], "NUM_BOXES_PER_PATCH": 32,
+        },
+        "ATTN_GNN_CONFIG": {
+            "IN_DIM": 11, "OUT_DIM": 32, "MLPS": [16, 16],
+            "CALIB_DIM": 16, "EXP_MLPS": [64], "K": 4,
+            "USE_FEATS_DIS": False, "USE_REDUCTION": True, "USE_SHORT_CUT": True,
+        },
+        "TARGET_CONFIG": {
+            "BOX_CODER": "ResidualCoder",
+            "BOX_CODER_CONFIG": {"norm": True},
+            "ROI_PER_IMAGE": 16, "FG_RATIO": 0.5,
+            "SAMPLE_ROI_BY_EACH_CLASS": True, "CLS_SCORE_TYPE": "roi_iou",
+            "CLS_FG_THRESH": 0.75, "CLS_BG_THRESH": 0.25,
+            "CLS_BG_THRESH_LO": 0.1, "HARD_BG_RATIO": 0.8,
+            "REG_FG_THRESH": 0.55,
+        },
+        "LOSS_CONFIG": {
+            "CLS_LOSS": "BinaryCrossEntropy",
+            "REG_LOSS": "WeightedSmoothL1Loss",
+            "CORNER_LOSS_REGULARIZATION": True,
+            "LOSS_WEIGHTS": {
+                "rcnn_cls_weight": 1.0, "rcnn_reg_weight": 1.0,
+                "rcnn_corner_weight": 1.0, "code_weights": [1.0] * 7,
+            },
+        },
+    })
+    cfg["POST_PROCESSING"] = EasyDict({
+        "RECALL_THRESH_LIST": [0.3, 0.5, 0.7],
+        "SCORE_THRESH": 0.1,
+        "EVAL_METRIC": "once",
+        "NMS_CONFIG": {"MULTI_CLASSES_NMS": False, "NMS_TYPE": "nms_gpu",
+                       "NMS_THRESH": 0.7, "NMS_PRE_MAXSIZE": 96,
+                       "NMS_POST_MAXSIZE": 32},
+    })
+    return cfg
+
+
+def test_graph_rcnn_two_stage_train_eval():
+    meta = small_meta()
+    model = build_network(two_stage_cfg(), num_class=3, dataset=meta)
+    rng = np.random.RandomState(0)
+    batch = synth_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "proposal_sampler": jax.random.PRNGKey(5)}, batch, train=True)
+    out, _ = model.apply(
+        variables, batch, train=True,
+        rngs={"proposal_sampler": jax.random.PRNGKey(7)},
+        mutable=["batch_stats"])
+    assert np.isfinite(float(out["loss"]))
+    assert "loss_rcnn" in out
+
+    out_eval = model.apply(variables, batch, train=False)
+    assert "final_boxes" in out_eval
+
+
+def test_checkpoint_roundtrip_and_partial_restore(tmp_path):
+    import optax
+    from gdmae_tpu.runtime import checkpoint as ckpt_lib
+    from gdmae_tpu.runtime import train as train_lib
+
+    meta = small_meta()
+    model = build_network(center_model_cfg(False), num_class=3, dataset=meta)
+    rng = np.random.RandomState(1)
+    batch = synth_batch(rng)
+    params, batch_stats = train_lib.init_model(model, batch)
+    tx = optax.adam(1e-3)
+    state = train_lib.TrainState.create(params, batch_stats, tx)
+
+    path = ckpt_lib.save_checkpoint(state, tmp_path, epoch=3, max_ckpt_save_num=2)
+    assert path.exists()
+    # rotation
+    ckpt_lib.save_checkpoint(state, tmp_path, epoch=4, max_ckpt_save_num=2)
+    ckpt_lib.save_checkpoint(state, tmp_path, epoch=5, max_ckpt_save_num=2)
+    import glob
+    assert len(list(tmp_path.glob("checkpoint_epoch_*.pkl"))) == 2
+
+    # full resume restores exact params
+    state2 = train_lib.TrainState.create(
+        jax.tree_util.tree_map(jnp.zeros_like, params), batch_stats, tx)
+    state2, epoch, _ = ckpt_lib.load_checkpoint(
+        ckpt_lib.latest_checkpoint(tmp_path), state2)
+    assert epoch == 5
+    l1 = jax.tree_util.tree_leaves(params)
+    l2 = jax.tree_util.tree_leaves(state2.params)
+    assert all(np.allclose(a, b) for a, b in zip(l1, l2))
+
+    # partial restore into a model with extra modules: loads what matches
+    model2 = build_network(two_stage_cfg(), num_class=3, dataset=meta)
+    variables2 = model2.init(
+        {"params": jax.random.PRNGKey(2),
+         "proposal_sampler": jax.random.PRNGKey(3)}, batch, train=True)
+    new_params, new_bs = ckpt_lib.load_params_partial(
+        ckpt_lib.latest_checkpoint(tmp_path),
+        variables2["params"], variables2["batch_stats"])
+    # the shared first-stage weights must now match the checkpoint
+    def get(tree, path):
+        for k in path:
+            tree = tree[k]
+        return tree
+    key_path = ("dense_head", "shared_conv", "kernel")
+    np.testing.assert_allclose(
+        np.asarray(get(new_params, key_path)),
+        np.asarray(get(params, key_path)))
