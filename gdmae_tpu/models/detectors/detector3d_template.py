@@ -22,11 +22,15 @@ from ...ops import iou_nms
 from ..backbones_2d.map_to_bev import HeightCompression, PointPillarScatter
 from ..backbones_2d.sst_bev_backbone import BaseBEVBackbone, SSTBEVBackbone
 from ..backbones_3d.spconv_backbone import VoxelBackBone8x, VoxelResBackBone8x
+from ..backbones_3d.spconv_unet import UNetV2
 from ..backbones_3d.pointnet2_backbone import PointNet2MSG, PointNet2SAMSG
 from ..backbones_3d.spt_backbone import SPTBackbone, SPTBackboneMAE
 from ..dense_heads.anchor_head import AnchorHeadSingle
 from ..dense_heads.center_head import CenterHead
+from ..dense_heads.anchor_head_multi import AnchorHeadMulti
 from ..dense_heads.point_head_vote import PointHeadVote
+from ..dense_heads.point_heads import (PointHeadBox, PointHeadSimple,
+                                       PointIntraPartOffsetHead)
 from ..img_backbones.dla import DLASeg
 from ..roi_heads.graphrcnn_head import GraphRCNNHead
 from ..vfe.dyn_vfe import DynVFE
@@ -53,13 +57,19 @@ BACKBONE3D_MODULES = {"SPTBackbone": SPTBackbone, "SPTBackboneMAE": SPTBackboneM
                       "VoxelBackBone8x": VoxelBackBone8x,
                       "VoxelResBackBone8x": VoxelResBackBone8x,
                       "PointNet2MSG": PointNet2MSG,
-                      "PointNet2SAMSG": PointNet2SAMSG}
-POINT_HEAD_MODULES = {"PointHeadVote": PointHeadVote}
+                      "PointNet2SAMSG": PointNet2SAMSG,
+                      "UNetV2": UNetV2}
+POINT_HEAD_MODULES = {"PointHeadVote": PointHeadVote,
+                      "PointHeadSimple": PointHeadSimple,
+                      "PointHeadBox": PointHeadBox,
+                      "PointIntraPartOffsetHead": PointIntraPartOffsetHead}
 IMG_BACKBONE_MODULES = {"DLASeg": DLASeg}
 MAP_TO_BEV_MODULES = {"PointPillarScatter": PointPillarScatter,
                       "HeightCompression": HeightCompression}
 BACKBONE2D_MODULES = {"SSTBEVBackbone": SSTBEVBackbone, "BaseBEVBackbone": BaseBEVBackbone}
-DENSE_HEAD_MODULES = {"AnchorHeadSingle": AnchorHeadSingle, "CenterHead": CenterHead}
+DENSE_HEAD_MODULES = {"AnchorHeadSingle": AnchorHeadSingle,
+                      "AnchorHeadMulti": AnchorHeadMulti,
+                      "CenterHead": CenterHead}
 ROI_HEAD_MODULES = {"GraphRCNNHead": GraphRCNNHead}
 
 
