@@ -33,6 +33,14 @@ def main():
     from gdmae_tpu.runtime import optimization, train as train_lib
 
     cfg = cfg_from_yaml_file(str(REPO / "tools/cfgs/kitti_models/gd_mae_ssl.yaml"))
+    on_tpu_probe = jax.devices()[0].platform != "cpu"
+    batch_probe = 16 if on_tpu_probe else 2
+    # empirically-sized per-level window-bucket capacities (per batch):
+    # typical KITTI scans occupy ~300 L0 / ~150 L1 / ~80 L2 windows per
+    # sample at stride 1, fewer at coarser strides
+    caps = [[320, 176, 96], [192, 128, 64], [112, 80, 48]]
+    cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS = [
+        [c * batch_probe for c in stage] for stage in caps]
     meta = DatasetMeta(
         class_names=cfg.CLASS_NAMES,
         point_cloud_range=cfg.DATA_CONFIG.POINT_CLOUD_RANGE,

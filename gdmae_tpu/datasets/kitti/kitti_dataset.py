@@ -190,3 +190,161 @@ class KittiDataset(DatasetTemplate):
         eval_det = copy.deepcopy(det_annos)
         eval_gt = [copy.deepcopy(info["annos"]) for info in self.kitti_infos]
         return kitti_eval.get_official_eval_result(eval_gt, eval_det, class_names)
+
+    # -- info/db creation tooling (reference :126-246, create_kitti_infos) -- #
+    def set_split(self, split):
+        self.split = split
+        self.root_split_path = self.root_path / ("training" if split != "test" else "testing")
+        split_file = self.root_path / "ImageSets" / (split + ".txt")
+        self.sample_id_list = (
+            [x.strip() for x in split_file.read_text().splitlines()]
+            if split_file.exists() else []
+        )
+
+    def get_image_shape(self, idx):
+        img_file = self.root_split_path / "image_2" / f"{idx}.png"
+        if img_file.exists():
+            try:
+                from PIL import Image
+
+                with Image.open(img_file) as im:
+                    return np.array([im.height, im.width], np.int32)
+            except ImportError:
+                pass
+        return np.array([375, 1242], np.int32)
+
+    def get_infos(self, num_workers=4, has_label=True, count_inside_pts=True,
+                  sample_id_list=None):
+        import concurrent.futures as futures
+
+        def process_single_scene(sample_idx):
+            info = {"point_cloud": {"num_features": 4, "lidar_idx": sample_idx}}
+            info["image"] = {"image_idx": sample_idx,
+                             "image_shape": self.get_image_shape(sample_idx)}
+            calib = self.get_calib(sample_idx)
+            P2 = np.concatenate([calib.P2, np.array([[0., 0., 0., 1.]])], axis=0)
+            R0_4x4 = np.zeros([4, 4], dtype=calib.R0.dtype)
+            R0_4x4[3, 3] = 1.0
+            R0_4x4[:3, :3] = calib.R0
+            V2C_4x4 = np.concatenate([calib.V2C, np.array([[0., 0., 0., 1.]])], axis=0)
+            info["calib"] = {"P2": P2, "R0_rect": R0_4x4, "Tr_velo_to_cam": V2C_4x4}
+
+            if has_label:
+                obj_list = self.get_label(sample_idx)
+                a = {
+                    "name": np.array([o.cls_type for o in obj_list]),
+                    "truncated": np.array([o.truncation for o in obj_list]),
+                    "occluded": np.array([o.occlusion for o in obj_list]),
+                    "alpha": np.array([o.alpha for o in obj_list]),
+                    "bbox": np.stack([o.box2d for o in obj_list], 0),
+                    "dimensions": np.array([[o.l, o.h, o.w] for o in obj_list]),
+                    "location": np.stack([o.loc for o in obj_list], 0),
+                    "rotation_y": np.array([o.ry for o in obj_list]),
+                    "score": np.array([o.score for o in obj_list]),
+                    "difficulty": np.array([o.level for o in obj_list], np.int32),
+                }
+                num_objects = len([o for o in obj_list if o.cls_type != "DontCare"])
+                num_gt = len(a["name"])
+                a["index"] = np.array(
+                    list(range(num_objects)) + [-1] * (num_gt - num_objects),
+                    np.int32)
+                loc = a["location"][:num_objects]
+                dims = a["dimensions"][:num_objects]
+                rots = a["rotation_y"][:num_objects]
+                loc_lidar = calib.rect_to_lidar(loc)
+                l, h, w = dims[:, 0:1], dims[:, 1:2], dims[:, 2:3]
+                loc_lidar[:, 2] += h[:, 0] / 2
+                gt_boxes_lidar = np.concatenate(
+                    [loc_lidar, l, w, h, -(np.pi / 2 + rots[..., None])], axis=1)
+                a["gt_boxes_lidar"] = gt_boxes_lidar
+                info["annos"] = a
+
+                if count_inside_pts:
+                    points = self.get_lidar(sample_idx)
+                    pts_rect = calib.lidar_to_rect(points[:, 0:3])
+                    fov = self.get_fov_flag(pts_rect, info["image"]["image_shape"], calib)
+                    pts_fov = points[fov]
+                    corners = box_utils.boxes_to_corners_3d(gt_boxes_lidar)
+                    num_pts = -np.ones(num_gt, np.int32)
+                    for k in range(num_objects):
+                        num_pts[k] = box_utils.in_hull(
+                            pts_fov[:, 0:3], corners[k]).sum()
+                    a["num_points_in_gt"] = num_pts
+            return info
+
+        ids = sample_id_list if sample_id_list is not None else self.sample_id_list
+        with futures.ThreadPoolExecutor(num_workers) as ex:
+            return list(ex.map(process_single_scene, ids))
+
+    def create_groundtruth_database(self, info_path, split="train"):
+        """Extract per-object point clips + db infos for gt-sampling
+        augmentation (reference :199-246)."""
+        db_save_path = self.root_path / ("gt_database" if split == "train"
+                                         else f"gt_database_{split}")
+        db_info_path = self.root_path / f"kitti_dbinfos_{split}.pkl"
+        db_save_path.mkdir(parents=True, exist_ok=True)
+        with open(info_path, "rb") as f:
+            infos = pickle.load(f)
+
+        all_db_infos = {}
+        for k, info in enumerate(infos):
+            sample_idx = info["point_cloud"]["lidar_idx"]
+            points = self.get_lidar(sample_idx)
+            annos = info["annos"]
+            gt_boxes = annos["gt_boxes_lidar"]
+            corners = box_utils.boxes_to_corners_3d(gt_boxes)
+            for i in range(len(gt_boxes)):
+                inside = box_utils.in_hull(points[:, 0:3], corners[i])
+                gt_points = points[inside]
+                gt_points[:, :3] -= gt_boxes[i, :3]
+                filename = f"{sample_idx}_{annos['name'][i]}_{i}.bin"
+                (db_save_path / filename).write_bytes(
+                    gt_points.astype(np.float32).tobytes())
+                db_info = {
+                    "name": annos["name"][i],
+                    "path": str((db_save_path / filename).relative_to(self.root_path)),
+                    "image_idx": sample_idx, "gt_idx": i,
+                    "box3d_lidar": gt_boxes[i],
+                    "num_points_in_gt": len(gt_points),
+                    "difficulty": annos["difficulty"][i],
+                    "bbox": annos["bbox"][i], "score": annos["score"][i],
+                }
+                all_db_infos.setdefault(str(annos["name"][i]), []).append(db_info)
+        with open(db_info_path, "wb") as f:
+            pickle.dump(all_db_infos, f)
+        return db_info_path
+
+
+def create_kitti_infos(dataset_cfg, class_names, data_path, save_path):
+    """Reference create_kitti_infos (:345-380): build train/val/test info
+    pickles + the gt database."""
+    dataset = KittiDataset(dataset_cfg=dataset_cfg, class_names=class_names,
+                           root_path=data_path, training=False)
+    for split, has_label in (("train", True), ("val", True), ("test", False)):
+        dataset.set_split(split)
+        infos = dataset.get_infos(has_label=has_label,
+                                  count_inside_pts=has_label)
+        out = save_path / f"kitti_infos_{split}.pkl"
+        with open(out, "wb") as f:
+            pickle.dump(infos, f)
+        print(f"Kitti info {split} saved to {out}")
+    dataset.set_split("train")
+    dataset.create_groundtruth_database(save_path / "kitti_infos_train.pkl")
+
+
+if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "create_kitti_infos":
+        import yaml
+
+        from ...config import EasyDict
+
+        dataset_cfg = EasyDict(yaml.safe_load(open(sys.argv[2])))
+        root = Path(__file__).resolve().parents[3]
+        create_kitti_infos(
+            dataset_cfg=dataset_cfg,
+            class_names=["Car", "Pedestrian", "Cyclist"],
+            data_path=root / "data" / "kitti",
+            save_path=root / "data" / "kitti",
+        )

@@ -106,8 +106,9 @@ class SSTBlock(nn.Module):
             participate = cover if participate is None else (participate & cover)
 
         x = canvas
+        shift_block_cls = nn.remat(CanvasShiftBlock, static_argnums=())
         for bi in range(int(enc.NUM_BLOCKS)):
-            x = CanvasShiftBlock(
+            x = shift_block_cls(
                 d_model=d_model,
                 nhead=int(enc.NHEAD),
                 dim_feedforward=int(enc.DIM_FEEDFORWARD),

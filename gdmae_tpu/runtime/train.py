@@ -37,12 +37,22 @@ class TrainState(struct.PyTreeNode):
 
 
 def init_model(model, example_batch, seed: int = 0):
-    """Initialize variables for a detector on an example batch."""
+    """Initialize variables for a detector on an example batch.
+
+    The init itself is jitted: eager (op-by-op) init would dispatch
+    thousands of tiny programs, which is pathological on remote/tunnelled
+    accelerators."""
     rngs = {
         "params": jax.random.PRNGKey(seed),
         "mae_mask": jax.random.PRNGKey(seed + 1),
+        "proposal_sampler": jax.random.PRNGKey(seed + 2),
     }
-    variables = model.init(rngs, example_batch, train=True)
+
+    @jax.jit
+    def _init(rngs, batch):
+        return model.init(rngs, batch, train=True)
+
+    variables = _init(rngs, example_batch)
     return variables["params"], variables.get("batch_stats", FrozenDict())
 
 
@@ -54,7 +64,8 @@ def make_train_step(model, donate: bool = True) -> Callable:
             {"params": params, "batch_stats": batch_stats},
             batch,
             train=True,
-            rngs={"mae_mask": rng},
+            rngs={"mae_mask": rng,
+                  "proposal_sampler": jax.random.fold_in(rng, 1)},
             mutable=["batch_stats"],
         )
         return out["loss"], (mutated["batch_stats"], out.get("tb_dict", {}))
