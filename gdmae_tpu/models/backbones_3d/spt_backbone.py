@@ -33,17 +33,25 @@ from ..model_utils.sst_layers import CanvasShiftBlock
 
 
 def scatter_pillars_to_canvas(pillar_features, pillar_coords, pillar_mask, grid_hw):
-    """(B, M, C) pillar list -> (B, Ny, Nx, C) canvas + (B, Ny, Nx) occupancy."""
+    """(B, M, C) pillar list -> (B, Ny, Nx, C) canvas + (B, Ny, Nx) occupancy.
+
+    The C-wide feature placement is a gather through an int32 inverse index
+    (one narrow scatter builds the index; TPU scatters serialize, gathers
+    don't)."""
     b, m, c = pillar_features.shape
     ny, nx = grid_hw
     flat_idx = pillar_coords[..., 0] * nx + pillar_coords[..., 1]  # (B, M)
     flat_idx = jnp.where(pillar_mask, flat_idx, ny * nx)  # trash cell
 
     def one(feats, idx, mask):
-        canvas = jnp.zeros((ny * nx + 1, c), feats.dtype)
-        canvas = canvas.at[idx].set(feats, mode="drop")
-        occ = jnp.zeros((ny * nx + 1,), bool).at[idx].set(mask, mode="drop")
-        return canvas[:-1].reshape(ny, nx, c), occ[:-1].reshape(ny, nx)
+        inv = jnp.full((ny * nx + 1,), m, jnp.int32)
+        inv = inv.at[idx].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
+        inv = inv.at[ny * nx].set(m)
+        inv = inv[:-1]
+        occ = inv < m
+        feats_pad = jnp.concatenate([feats, jnp.zeros((1, c), feats.dtype)], 0)
+        canvas = feats_pad[inv]
+        return canvas.reshape(ny, nx, c), occ.reshape(ny, nx)
 
     return jax.vmap(one)(pillar_features, flat_idx, pillar_mask)
 
@@ -97,12 +105,10 @@ class SSTBlock(nn.Module):
         # cells covered by both shifts participate in the encoder; others
         # (bucket overflow only) keep their input features, mirroring the
         # reference's token-drop residual (spt_backbone.py:260-262)
+        b = occ.shape[0]
         participate = None
         for plan in plans:
-            cover = window_ops.scatter_buckets(
-                jnp.zeros((*occ.shape, 1), self.dtype), plan,
-                [jnp.ones((*v.shape, 1), self.dtype) * v[..., None] for v in plan.tok_valid],
-            )[..., 0] > 0.5
+            cover = window_ops.covered_mask(plan, b, ny, nx)
             participate = cover if participate is None else (participate & cover)
 
         x = canvas

@@ -61,13 +61,24 @@ class BucketPlan(NamedTuple):
         tok_yx: [(W_l, T_l, 2) int32] — in-window (y, x) of each token, for
             the sinusoidal position embedding (reference
             spt_backbone.py:137-182 get_pos_embed).
+        inv_idx: (B*Ny*Nx,) int32 — for each canvas cell, its position in
+            the level-concatenated bucket token list, or ``total_tokens``
+            when not covered.  Built once per plan so the per-layer
+            bucket->canvas writeback is a pure gather (TPU scatters are
+            slow; one int32 scatter here replaces C-wide feature scatters
+            in every encoder layer).
         overflow: () int32 — windows dropped because a bucket filled up.
     """
 
     tok_src: Tuple[jnp.ndarray, ...]
     tok_valid: Tuple[jnp.ndarray, ...]
     tok_yx: Tuple[jnp.ndarray, ...]
+    inv_idx: jnp.ndarray
     overflow: jnp.ndarray
+
+    @property
+    def total_tokens(self):
+        return sum(int(s.shape[0] * s.shape[1]) for s in self.tok_src)
 
 
 def _window_counts_and_compaction(occ_pad, b, nwy, nwx, wy, wx):
@@ -176,7 +187,20 @@ def build_bucket_plan(
         tok_yx.append(jnp.stack([iy, ix], axis=-1).astype(jnp.int32))
         overflow = overflow + jnp.maximum(offsets[li + 1] - offsets[li] - cap, 0)
 
-    return BucketPlan(tuple(tok_src), tuple(tok_valid), tuple(tok_yx), overflow)
+    # inverse map: canvas cell -> position in the concatenated bucket list
+    total = sum(int(s.shape[0] * s.shape[1]) for s in tok_src)
+    inv = jnp.full((b * ny * nx + 1,), total, jnp.int32)
+    off = 0
+    for src, tv in zip(tok_src, tok_valid):
+        size = int(src.shape[0] * src.shape[1])
+        pos = off + jnp.arange(size, dtype=jnp.int32)
+        tgt = jnp.where(tv.reshape(-1), src.reshape(-1), b * ny * nx)
+        inv = inv.at[tgt].set(pos, mode="drop")
+        off += size
+    inv = inv.at[b * ny * nx].set(total)  # trash never counts as covered
+
+    return BucketPlan(tuple(tok_src), tuple(tok_valid), tuple(tok_yx),
+                      inv[:-1], overflow)
 
 
 def gather_buckets(features: jnp.ndarray, plan: BucketPlan):
@@ -192,15 +216,26 @@ def gather_buckets(features: jnp.ndarray, plan: BucketPlan):
 def scatter_buckets(features: jnp.ndarray, plan: BucketPlan, bucket_feats):
     """Write bucket tensors back onto the canvas; untouched cells keep their
     previous features.  Equivalent of reference ``window2flat_v2``
-    (sst_utils.py:151-180)."""
+    (sst_utils.py:151-180).
+
+    Implemented as a pure GATHER through the precomputed inverse index
+    (plan.inv_idx): TPU scatters serialize, gathers ride the full HBM
+    bandwidth."""
     b, ny, nx, c = features.shape
     flat = features.reshape(b * ny * nx, c)
-    flat = jnp.concatenate([flat, jnp.zeros((1, c), flat.dtype)], axis=0)
-    for src, bf in zip(plan.tok_src, bucket_feats):
-        # NOTE: invalid slots all alias the trash row, so indices are NOT
-        # unique — do not pass unique_indices here.
-        flat = flat.at[src.reshape(-1)].set(bf.reshape(-1, c), mode="drop")
-    return flat[:-1].reshape(b, ny, nx, c)
+    tokens = jnp.concatenate(
+        [bf.reshape(-1, c) for bf in bucket_feats]
+        + [jnp.zeros((1, c), features.dtype)], axis=0)
+    total = plan.total_tokens
+    covered = plan.inv_idx < total
+    picked = tokens[jnp.minimum(plan.inv_idx, total)]
+    out = jnp.where(covered[:, None], picked, flat)
+    return out.reshape(b, ny, nx, c)
+
+
+def covered_mask(plan: BucketPlan, b: int, ny: int, nx: int):
+    """(B, Ny, Nx) bool — cells updated by this plan's buckets."""
+    return (plan.inv_idx < plan.total_tokens).reshape(b, ny, nx)
 
 
 def sinusoidal_pos_embed(tok_yx, window, feat_dim, pos_temperature=1000,
