@@ -34,11 +34,11 @@ def main():
 
     cfg = cfg_from_yaml_file(str(REPO / "tools/cfgs/kitti_models/gd_mae_ssl.yaml"))
     on_tpu_probe = jax.devices()[0].platform != "cpu"
-    batch_probe = 16 if on_tpu_probe else 2
-    # empirically-sized per-level window-bucket capacities (per batch):
-    # typical KITTI scans occupy ~300 L0 / ~150 L1 / ~80 L2 windows per
-    # sample at stride 1, fewer at coarser strides
-    caps = [[320, 176, 96], [192, 128, 64], [112, 80, 48]]
+    batch_probe = 32 if on_tpu_probe else 2
+    # empirically-sized per-level window-bucket capacities (per batch) for
+    # the MAE encoder: 85% of pillars are masked, so the visible token set
+    # is ~6x smaller than a full detection scan
+    caps = [[160, 64, 32], [96, 48, 24], [64, 32, 16]]
     cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS = [
         [c * batch_probe for c in stage] for stage in caps]
     meta = DatasetMeta(
@@ -52,7 +52,7 @@ def main():
     )
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    batch_size = 16 if on_tpu else 2
+    batch_size = 32 if on_tpu else 2
     model = build_network(cfg.MODEL, num_class=3, dataset=meta, dtype=dtype)
 
     rng = np.random.RandomState(0)

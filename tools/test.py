@@ -41,8 +41,28 @@ def parse_config():
     return args, cfg
 
 
+def compute_recalls(gt_boxes, pred_boxes, thresh_list):
+    """Per-threshold gt recall (reference detector3d_template.py:317-359),
+    host-side via the native rotated 3D IoU."""
+    from gdmae_tpu.datasets.once.once_eval.evaluation import iou3d_with_heading
+
+    counts = {t: 0 for t in thresh_list}
+    total_gt = 0
+    valid = np.any(np.abs(gt_boxes) > 1e-6, axis=-1)
+    gt = gt_boxes[valid][:, :7]
+    total_gt += len(gt)
+    if len(gt) and len(pred_boxes):
+        iou = iou3d_with_heading(gt.astype(np.float64),
+                                 pred_boxes[:, :7].astype(np.float64),
+                                 with_heading=False)
+        best = iou.max(axis=1)
+        for t in thresh_list:
+            counts[t] += int((best > t).sum())
+    return counts, total_gt
+
+
 def eval_one_epoch(model, variables, dataloader, dataset, class_names, logger,
-                   result_dir=None):
+                   result_dir=None, recall_thresh_list=(0.3, 0.5, 0.7)):
     """Reference eval_utils.eval_one_epoch (:23-130)."""
     import jax
     import jax.numpy as jnp
@@ -52,6 +72,8 @@ def eval_one_epoch(model, variables, dataloader, dataset, class_names, logger,
     eval_step = train_lib.make_eval_step(model)
     det_annos = []
     infer_times = []
+    recall_counts = {t: 0 for t in recall_thresh_list}
+    recall_gt = 0
     for batch in dataloader:
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()
                         if isinstance(v, np.ndarray)}
@@ -72,6 +94,12 @@ def eval_one_epoch(model, variables, dataloader, dataset, class_names, logger,
                 "pred_scores": scores[bi][m],
                 "pred_labels": labels[bi][m].astype(np.int64),
             })
+            if "gt_boxes" in batch:
+                c, g = compute_recalls(batch["gt_boxes"][bi],
+                                       boxes[bi][m], recall_thresh_list)
+                for t in recall_thresh_list:
+                    recall_counts[t] += c[t]
+                recall_gt += g
         annos = dataset.generate_prediction_dicts(
             batch, pred_dicts, class_names,
             output_path=result_dir if result_dir else None)
@@ -79,6 +107,10 @@ def eval_one_epoch(model, variables, dataloader, dataset, class_names, logger,
 
     logger.info("p50 per-scan latency: %.1f ms",
                 1000 * float(np.median(infer_times)))
+    if recall_gt > 0:
+        for t in recall_thresh_list:
+            logger.info("recall_rcnn_%.1f: %.4f", t,
+                        recall_counts[t] / max(recall_gt, 1))
     result_str, result_dict = dataset.evaluation(det_annos, class_names)
     if result_str:
         logger.info(result_str)

@@ -80,6 +80,14 @@ def main():
     logger = common_utils.create_logger(log_file, rank=jax.process_index())
     logger.info("**********************Start logging**********************")
     log_config_to_file(cfg_, logger=logger)
+    tb_writer = None
+    if jax.process_index() == 0:
+        try:
+            from tensorboardX import SummaryWriter
+
+            tb_writer = SummaryWriter(str(output_dir / "tensorboard"))
+        except ImportError:
+            pass
 
     data_path = Path(cfg_.DATA_CONFIG.DATA_PATH)
     if not data_path.is_absolute():
@@ -167,6 +175,13 @@ def main():
                     "epoch %d iter %d/%d loss=%.4f lr=%.2e d_time=%.2fs "
                     "b_time=%.2fs", epoch, it, iters_per_epoch, loss, cur_lr,
                     data_time, batch_time)
+                if tb_writer is not None:
+                    gstep = int(state.step)
+                    tb_writer.add_scalar("train/loss", loss, gstep)
+                    tb_writer.add_scalar("meta_data/learning_rate", cur_lr, gstep)
+                    for k, v in metrics.items():
+                        if k != "loss" and hasattr(v, "item"):
+                            tb_writer.add_scalar(f"train/{k}", float(v), gstep)
         if jax.process_index() == 0 and (epoch + 1) % args.ckpt_save_interval == 0:
             path = ckpt_lib.save_checkpoint(
                 state, ckpt_dir, epoch + 1, max_ckpt_save_num=args.max_ckpt_save_num)
