@@ -153,6 +153,40 @@ class DataAugmentor:
             data_dict["transformation_3d_params"]["random_world_translation"] = offset
         return data_dict
 
+    def photo_metric_distortion(self, data_dict=None, config=None):
+        """Random brightness/contrast/saturation/hue/channel-swap on the image
+        branch (reference data_augmentor.py:173-227; cv2-free HSV round-trip)."""
+        if data_dict is None:
+            return partial(self.photo_metric_distortion, config=config)
+        img = data_dict["image"].astype(np.float32)
+
+        brightness_delta = config["BRIGHTNESS_DELTA"]
+        contrast_lower, contrast_upper = config["CONTRAST_RANGE"]
+        saturation_lower, saturation_upper = config["SATURATION_RANGE"]
+        hue_delta = config["HUE_DELTA"]
+
+        if np.random.randint(2):
+            img = img + np.random.uniform(-brightness_delta, brightness_delta)
+        mode = np.random.randint(2)
+        if mode == 1 and np.random.randint(2):
+            img = img * np.random.uniform(contrast_lower, contrast_upper)
+
+        img = _bgr_to_hsv(img)
+        if np.random.randint(2):
+            img[..., 1] *= np.random.uniform(saturation_lower, saturation_upper)
+        if np.random.randint(2):
+            img[..., 0] += np.random.uniform(-hue_delta, hue_delta)
+            img[..., 0][img[..., 0] > 360] -= 360
+            img[..., 0][img[..., 0] < 0] += 360
+        img = _hsv_to_bgr(img)
+
+        if mode == 0 and np.random.randint(2):
+            img = img * np.random.uniform(contrast_lower, contrast_upper)
+        if np.random.randint(2):
+            img = img[..., np.random.permutation(3)]
+        data_dict["image"] = img
+        return data_dict
+
     # -- pipeline ------------------------------------------------------- #
     def forward(self, data_dict):
         data_dict["transformation_3d_list"] = data_dict.get("transformation_3d_list", [])
@@ -171,3 +205,34 @@ class DataAugmentor:
             if "gt_boxes2d" in data_dict:
                 data_dict["gt_boxes2d"] = data_dict["gt_boxes2d"][mask]
         return data_dict
+
+
+def _bgr_to_hsv(img):
+    """cv2.COLOR_BGR2HSV float convention: H in degrees [0,360), S in [0,1],
+    V on the input scale."""
+    b, g, r = img[..., 0], img[..., 1], img[..., 2]
+    v = np.maximum(np.maximum(b, g), r)
+    mn = np.minimum(np.minimum(b, g), r)
+    delta = v - mn
+    s = np.where(v > 1e-12, delta / np.maximum(v, 1e-12), 0.0)
+    safe = np.maximum(delta, 1e-12)
+    h = np.where(v == r, 60.0 * (g - b) / safe,
+                 np.where(v == g, 120.0 + 60.0 * (b - r) / safe,
+                          240.0 + 60.0 * (r - g) / safe))
+    h = np.where(delta <= 1e-12, 0.0, h)
+    h = np.where(h < 0, h + 360.0, h)
+    return np.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_bgr(img):
+    h, s, v = img[..., 0], np.clip(img[..., 1], 0, 1), img[..., 2]
+    h60 = (h % 360.0) / 60.0
+    i = np.floor(h60).astype(np.int64) % 6
+    f = h60 - np.floor(h60)
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    r = np.choose(i, [v, q, p, p, t, v])
+    g = np.choose(i, [t, v, v, q, p, p])
+    b = np.choose(i, [p, p, t, v, v, q])
+    return np.stack([b, g, r], axis=-1)

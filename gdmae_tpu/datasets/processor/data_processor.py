@@ -150,3 +150,97 @@ class DataProcessor:
         for proc in self.data_processor_queue:
             data_dict = proc(data_dict=data_dict)
         return data_dict
+
+    # -- image branch ops (reference data_processor.py:174-266) ----------- #
+    def imrescale(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.imrescale, config=config)
+        img = data_dict["image"]
+        h, w = img.shape[:2]
+        img_scales = config.IMAGE_SCALES[self.mode]
+        if len(img_scales) > 1:
+            longs = [max(s) for s in img_scales]
+            shorts = [min(s) for s in img_scales]
+            size = [np.random.randint(min(longs), max(longs) + 1),
+                    np.random.randint(min(shorts), max(shorts) + 1)]
+        else:
+            size = img_scales[0]
+        if config.get("KEEP_RATIO", True):
+            sf = min(max(size) / max(h, w), min(size) / min(h, w))
+            new_size = (int(w * sf + 0.5), int(h * sf + 0.5))
+        else:
+            new_size = size
+        img = _resize_bilinear(img, new_size[1], new_size[0])
+        w_scale, h_scale = new_size[0] / w, new_size[1] / h
+        data_dict["image"] = img
+        data_dict["image_rescale_shape"] = img.shape[:2]
+        data_dict.setdefault("transformation_2d_list", []).append("imrescale")
+        data_dict.setdefault("transformation_2d_params", {})["imrescale"] = (
+            w_scale, h_scale)
+        if data_dict.get("gt_boxes2d", None) is not None:
+            g = data_dict["gt_boxes2d"]
+            g[:, :4] *= np.array([w_scale, h_scale, w_scale, h_scale], np.float32)
+            g[:, [0, 2]] = np.clip(g[:, [0, 2]], 0, img.shape[1] - 1)
+            g[:, [1, 3]] = np.clip(g[:, [1, 3]], 0, img.shape[0] - 1)
+        return data_dict
+
+    def imflip(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.imflip, config=config)
+        if np.random.rand() < config.FLIP_RATIO[self.mode]:
+            img = np.flip(data_dict["image"], axis=1)
+            data_dict["image"] = img
+            data_dict.setdefault("transformation_2d_list", []).append("imflip")
+            data_dict.setdefault("transformation_2d_params", {})["imflip"] = (
+                True, img.shape[1])
+            if data_dict.get("gt_boxes2d", None) is not None:
+                g = data_dict["gt_boxes2d"]
+                wdt = img.shape[1]
+                flipped = g.copy()
+                flipped[..., 0] = wdt - 1 - g[..., 2]
+                flipped[..., 2] = wdt - 1 - g[..., 0]
+                data_dict["gt_boxes2d"] = flipped
+        return data_dict
+
+    def imnormalize(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.imnormalize, config=config)
+        img = data_dict["image"].astype(np.float32)
+        if config.get("TO_RGB", False):
+            img = img[..., ::-1].copy()
+        mean = np.asarray(config.MEAN, np.float32).reshape(1, 1, -1)
+        std = np.asarray(config.STD, np.float32).reshape(1, 1, -1)
+        data_dict["image"] = (img - mean) / std
+        return data_dict
+
+    def impad(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.impad, config=config)
+        img = data_dict["image"]
+        div = int(config.SIZE_DIVISOR)
+        ph = -(-img.shape[0] // div) * div
+        pw = -(-img.shape[1] // div) * div
+        out = np.zeros((ph, pw, *img.shape[2:]), img.dtype)
+        out[:img.shape[0], :img.shape[1]] = img
+        data_dict["image"] = out
+        data_dict["image_pad_shape"] = out.shape[:2]
+        return data_dict
+
+
+def _resize_bilinear(img, out_h, out_w):
+    """cv2-free bilinear resize (torch CPU interpolate under the hood)."""
+    import torch
+    import torch.nn.functional as F
+
+    t = torch.from_numpy(np.ascontiguousarray(img, np.float32))
+    if t.ndim == 2:
+        t = t[None, None]
+        squeeze = 2
+    else:
+        t = t.permute(2, 0, 1)[None]
+        squeeze = 1
+    out = F.interpolate(t, size=(out_h, out_w), mode="bilinear",
+                        align_corners=False)
+    if squeeze == 2:
+        return out[0, 0].numpy()
+    return out[0].permute(1, 2, 0).numpy()

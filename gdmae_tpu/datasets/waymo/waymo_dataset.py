@@ -41,6 +41,13 @@ class WaymoDataset(DatasetTemplate):
         self.infos = []
         self.include_waymo_data(self.mode)
 
+        self.use_shared_memory = self.dataset_cfg.get("USE_SHARED_MEMORY", False) \
+            and self.training
+        self.shared_memory_file_limit = self.dataset_cfg.get(
+            "SHARED_MEMORY_FILE_LIMIT", 0x7FFFFFFF)
+        if self.use_shared_memory:
+            self.load_data_to_shared_memory()
+
     def check_sequence_name_with_all_version(self, sequence_file):
         sequence_file = Path(sequence_file)
         if sequence_file.exists():
@@ -74,9 +81,35 @@ class WaymoDataset(DatasetTemplate):
             if self.logger is not None:
                 self.logger.info("Sampled to %d samples", len(self.infos))
 
+    # -- /dev/shm point cache (reference waymo_dataset.py:78-120) --------- #
+    def _shm_key(self, sequence_name, sample_idx):
+        return f"gdmae_{sequence_name}___{sample_idx}"
+
+    def load_data_to_shared_memory(self):
+        for info in self.infos[:self.shared_memory_file_limit]:
+            pc = info["point_cloud"]
+            key = self._shm_key(pc["lidar_sequence"], pc["sample_idx"])
+            if not common_utils.sa_exists(key):
+                lidar_file = self.data_path / pc["lidar_sequence"] \
+                    / ("%04d.npy" % pc["sample_idx"])
+                common_utils.sa_create(key, np.load(lidar_file))
+        if self.logger is not None:
+            self.logger.info("Shared-memory cache populated")
+
+    def clean_shared_memory(self):
+        for info in self.infos[:self.shared_memory_file_limit]:
+            pc = info["point_cloud"]
+            common_utils.sa_delete(
+                self._shm_key(pc["lidar_sequence"], pc["sample_idx"]))
+
     def get_lidar(self, sequence_name, sample_idx):
-        lidar_file = self.data_path / sequence_name / ("%04d.npy" % sample_idx)
-        point_features = np.load(lidar_file)  # (N, 6): x,y,z,intensity,elong,NLZ
+        if self.use_shared_memory and \
+                common_utils.sa_exists(self._shm_key(sequence_name, sample_idx)):
+            point_features = np.array(
+                common_utils.sa_attach(self._shm_key(sequence_name, sample_idx)))
+        else:
+            lidar_file = self.data_path / sequence_name / ("%04d.npy" % sample_idx)
+            point_features = np.load(lidar_file)  # (N, 6): x,y,z,intensity,elong,NLZ
         points_all, nlz = point_features[:, 0:5], point_features[:, 5]
         if not self.dataset_cfg.get("DISABLE_NLZ_FLAG_ON_POINTS", False):
             points_all = points_all[nlz == -1]
@@ -173,3 +206,64 @@ class WaymoDataset(DatasetTemplate):
             waymo_utils.create_pd_detection(eval_det_annos, self.infos, out_path)
             return f"predictions written to {out_path}", {}
         raise NotImplementedError(eval_metric)
+
+
+    # -- gt database creation (reference :330-409) ------------------------ #
+    def create_groundtruth_database(self, info_path, save_path, split="train",
+                                    sampled_interval=10, processed_data_tag=None):
+        """Per-object point clips + global npy blob + db infos for the
+        gt-sampling augmentor (class-subsampling identical to the reference:
+        Vehicles kept every 4th frame, Pedestrians every 2nd)."""
+        from ...utils import box_utils
+
+        tag = processed_data_tag or self.dataset_cfg.PROCESSED_DATA_TAG
+        save_path = Path(save_path)
+        db_info_path = save_path / (
+            f"{tag}_waymo_dbinfos_{split}_sampled_{sampled_interval}.pkl")
+        db_data_path = save_path / (
+            f"{tag}_gt_database_{split}_sampled_{sampled_interval}_global.npy")
+        with open(info_path, "rb") as f:
+            infos = pickle.load(f)
+
+        all_db_infos = {}
+        stacked = []
+        offset = 0
+        for k in range(0, len(infos), sampled_interval):
+            info = infos[k]
+            annos = info["annos"]
+            names = annos["name"]
+            difficulty = annos["difficulty"]
+            gt_boxes = annos["gt_boxes_lidar"]
+            if k % 4 != 0 and len(names) > 0:
+                keep = names != "Vehicle"
+                names, difficulty, gt_boxes = names[keep], difficulty[keep], gt_boxes[keep]
+            if k % 2 != 0 and len(names) > 0:
+                keep = names != "Pedestrian"
+                names, difficulty, gt_boxes = names[keep], difficulty[keep], gt_boxes[keep]
+            if len(gt_boxes) == 0:
+                continue
+            pc_info = info["point_cloud"]
+            points = self.get_lidar(pc_info["lidar_sequence"], pc_info["sample_idx"])
+            corners = box_utils.boxes_to_corners_3d(gt_boxes[:, :7])
+            for i in range(len(gt_boxes)):
+                inside = box_utils.in_hull(points[:, 0:3], corners[i])
+                gt_points = points[inside].astype(np.float32)
+                gt_points[:, :3] -= gt_boxes[i, :3]
+                stacked.append(gt_points)
+                db_info = {
+                    "name": names[i],
+                    "path": "",  # points live in the global blob
+                    "sequence_name": pc_info["lidar_sequence"],
+                    "sample_idx": pc_info["sample_idx"], "gt_idx": i,
+                    "box3d_lidar": gt_boxes[i],
+                    "num_points_in_gt": len(gt_points),
+                    "difficulty": difficulty[i],
+                    "global_data_offset": (offset, offset + len(gt_points)),
+                }
+                offset += len(gt_points)
+                all_db_infos.setdefault(str(names[i]), []).append(db_info)
+        np.save(db_data_path, np.concatenate(stacked, axis=0)
+                if stacked else np.zeros((0, 5), np.float32))
+        with open(db_info_path, "wb") as f:
+            pickle.dump(all_db_infos, f)
+        return db_info_path

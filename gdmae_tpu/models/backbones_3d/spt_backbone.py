@@ -202,7 +202,8 @@ class SPTBackbone(nn.Module):
         out = []
         for i, blk in enumerate(cfg.SST_BLOCK_LIST):
             if caps_cfg is not None:
-                out.append(tuple(int(c) for c in caps_cfg[i]))
+                # configured caps are PER-SAMPLE; buckets are global
+                out.append(tuple(int(c) * batch_size for c in caps_cfg[i]))
                 continue
             s = int(blk.ENCODER.STRIDE)
             ny, nx = grids[i]

@@ -32,6 +32,7 @@ from ..dense_heads.point_head_vote import PointHeadVote
 from ..dense_heads.point_heads import (PointHeadBox, PointHeadSimple,
                                        PointIntraPartOffsetHead)
 from ..img_backbones.dla import DLASeg
+from ..pfe.voxel_set_abstraction import VoxelSetAbstraction
 from ..roi_heads.graphrcnn_head import GraphRCNNHead
 from ..vfe.dyn_vfe import DynVFE
 from ..vfe.pillar_vfe import MeanVFE, PillarVFE
@@ -71,6 +72,7 @@ DENSE_HEAD_MODULES = {"AnchorHeadSingle": AnchorHeadSingle,
                       "AnchorHeadMulti": AnchorHeadMulti,
                       "CenterHead": CenterHead}
 ROI_HEAD_MODULES = {"GraphRCNNHead": GraphRCNNHead}
+PFE_MODULES = {"VoxelSetAbstraction": VoxelSetAbstraction}
 
 
 class Detector3DTemplate(nn.Module):
@@ -89,6 +91,7 @@ class Detector3DTemplate(nn.Module):
         self.vfe = None
         self.backbone_3d = None
         self.map_to_bev = None
+        self.pfe = None
         self.backbone_2d = None
         self.dense_head = None
         self.point_head = None
@@ -134,6 +137,17 @@ class Detector3DTemplate(nn.Module):
             else:
                 self.map_to_bev = m2b_cls(model_cfg=cfg.MAP_TO_BEV, dtype=self.dtype)
             num_feats = self.map_to_bev.num_bev_features
+
+        if cfg.get("PFE", None) is not None:
+            pfe_cls = PFE_MODULES[cfg.PFE.NAME]
+            self.pfe = pfe_cls(
+                model_cfg=cfg.PFE,
+                voxel_size=ds.voxel_size,
+                point_cloud_range=ds.point_cloud_range,
+                num_bev_features=num_feats,
+                num_rawpoint_features=ds.num_point_features,
+                dtype=self.dtype,
+            )
 
         if cfg.get("BACKBONE_2D", None) is not None:
             bb2_cls = BACKBONE2D_MODULES[cfg.BACKBONE_2D.NAME]
@@ -186,7 +200,7 @@ class Detector3DTemplate(nn.Module):
         # stay pristine (it may be re-fed to a jitted step)
         batch_dict = dict(batch_dict)
         for stage in (self.img_backbone, self.vfe, self.backbone_3d, self.map_to_bev,
-                      self.backbone_2d, self.dense_head, self.point_head,
+                      self.pfe, self.backbone_2d, self.dense_head, self.point_head,
                       self.roi_head):
             if stage is not None:
                 batch_dict = stage(batch_dict, train=train)

@@ -1,0 +1,3 @@
+from .voxel_set_abstraction import VoxelSetAbstraction
+
+__all__ = ["VoxelSetAbstraction"]

@@ -55,20 +55,32 @@ class DynVFE(nn.Module):
         )
         res = pillarize(points[..., :3], point_mask)
 
+        # reorder points by pillar ONCE: every segment reduction then runs
+        # with sorted indices (XLA lowers sorted-segment reductions without
+        # the scatter path — much faster on TPU)
+        order = res.point_order  # (B, N) permutation grouping by pillar
+        points = jnp.take_along_axis(points, order[..., None], axis=1)
+        point_pillar = jnp.take_along_axis(res.point_pillar, order, axis=1)
+        point_mask_s = jnp.take_along_axis(point_mask, order, axis=1)
+
         # flattened segment ids across the batch: b * (M+1) + slot
         seg = (
-            jnp.arange(b, dtype=jnp.int32)[:, None] * (m + 1) + res.point_pillar
+            jnp.arange(b, dtype=jnp.int32)[:, None] * (m + 1) + point_pillar
         ).reshape(-1)
         nseg = b * (m + 1)
-        pt_valid = (res.point_pillar < m) & point_mask  # in-range & real
+        pt_valid = (point_pillar < m) & point_mask_s  # in-range & real
 
         flat_pts = points.reshape(b * n, -1)
 
         def seg_mean(v):
-            return scatter.segment_mean(v, seg, nseg).reshape(b, m + 1, -1)[:, :m]
+            return scatter.segment_mean(
+                v, seg, nseg, indices_are_sorted=True
+            ).reshape(b, m + 1, -1)[:, :m]
 
         def seg_max(v):
-            return scatter.segment_max(v, seg, nseg).reshape(b, m + 1, -1)[:, :m]
+            return scatter.segment_max(
+                v, seg, nseg, indices_are_sorted=True
+            ).reshape(b, m + 1, -1)[:, :m]
 
         sample_type = cfg.get("TYPE", "mean")
         if sample_type == "mean":
@@ -78,7 +90,8 @@ class DynVFE(nn.Module):
             # stand-in for torch_scatter.scatter_max over arange
             # (reference dyn_vfe.py:71)
             idx = scatter.segment_max(
-                jnp.arange(b * n, dtype=jnp.float32)[:, None], seg, nseg
+                jnp.arange(b * n, dtype=jnp.float32)[:, None], seg, nseg,
+                indices_are_sorted=True
             ).astype(jnp.int32).reshape(b, m + 1)[:, :m]
             x = flat_pts[jnp.clip(idx.reshape(-1), 0, b * n - 1)].reshape(b, m, -1)
         elif sample_type == "nearest":
@@ -110,7 +123,7 @@ class DynVFE(nn.Module):
                 [samp_xyz, jnp.zeros((b, 1, 3), samp_xyz.dtype)], axis=1
             )
             pil_of_pt = jnp.take_along_axis(
-                samp_pad, res.point_pillar[..., None].clip(0, m), axis=1
+                samp_pad, point_pillar[..., None].clip(0, m), axis=1
             )
             f_cluster = points[..., :3] - pil_of_pt
 
@@ -119,7 +132,7 @@ class DynVFE(nn.Module):
                 [res.pillar_coords, jnp.zeros((b, 1, cdim), jnp.int32)], axis=1
             )
             cyx = jnp.take_along_axis(
-                coords_pad, res.point_pillar[..., None].clip(0, m), axis=1
+                coords_pad, point_pillar[..., None].clip(0, m), axis=1
             )  # (B, N, 2|3) [(iz,) iy, ix]
             z_center = (
                 (cyx[..., -3].astype(points.dtype) + 0.5) * vs[2] + pc[2]
@@ -153,7 +166,8 @@ class DynVFE(nn.Module):
                     )
                 pf_flat = pf.reshape(b * n, -1)
                 x_max = scatter.segment_max(
-                    jnp.where(pt_valid.reshape(-1, 1), pf_flat, -jnp.inf), seg, nseg
+                    jnp.where(pt_valid.reshape(-1, 1), pf_flat, -jnp.inf), seg,
+                    nseg, indices_are_sorted=True
                 ).reshape(b, m + 1, -1)[:, :m]
                 if k == len(mlps) - 1:
                     x = x_max
@@ -162,7 +176,7 @@ class DynVFE(nn.Module):
                         [x_max, jnp.zeros((b, 1, x_max.shape[-1]), x_max.dtype)], axis=1
                     )
                     back = jnp.take_along_axis(
-                        x_max_pad, res.point_pillar[..., None].clip(0, m), axis=1
+                        x_max_pad, point_pillar[..., None].clip(0, m), axis=1
                     )
                     pf = jnp.concatenate([pf, back], axis=-1)
 
@@ -175,6 +189,8 @@ class DynVFE(nn.Module):
 
         x = x * res.pillar_mask[..., None].astype(x.dtype)
 
+        batch_dict["points"] = points  # pillar-sorted order
+        batch_dict["point_mask"] = point_mask_s
         batch_dict["pillar_features"] = x
         batch_dict["voxel_features"] = x
         if is_3d:
@@ -184,9 +200,16 @@ class DynVFE(nn.Module):
         else:
             batch_dict["pillar_coords"] = res.pillar_coords  # (B, M, 2) [iy, ix]
         batch_dict["pillar_mask"] = res.pillar_mask
-        batch_dict["point_pillar"] = res.point_pillar
+        batch_dict["point_pillar"] = point_pillar
         batch_dict["point_valid"] = pt_valid
-        batch_dict["pillarize_result"] = res
+        # pillarize_result rebased to the sorted point order: the wrap-group
+        # gather (MAE gt sets) indexes sorted points contiguously
+        batch_dict["pillarize_result"] = res._replace(
+            point_pillar=point_pillar,
+            point_order=jnp.broadcast_to(
+                jnp.arange(points.shape[1], dtype=jnp.int32)[None],
+                point_pillar.shape),
+        )
         return batch_dict
 
     @property

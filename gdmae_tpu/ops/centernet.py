@@ -195,3 +195,36 @@ def decode_bbox_from_heatmap(heatmap, rot_cos, rot_sin, center, center_z, dim,
     if score_thresh is not None:
         valid &= scores > score_thresh
     return boxes, scores, class_ids, ious, valid
+
+
+def circle_nms(centers_xy, scores, min_radius, post_maxsize, valid=None):
+    """Center-distance greedy NMS (reference centernet_utils.circle_nms:80-111,
+    numba host kernel) as a jittable fixed-K suppression: a detection is
+    dropped when a higher-scoring kept detection lies within ``min_radius``.
+
+    Args:
+        centers_xy: (N, 2); scores: (N,); valid: (N,) bool optional.
+    Returns:
+        keep_idx (post_maxsize,) int32 padded -1; keep_mask; keep_scores.
+    """
+    n = centers_xy.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    masked = jnp.where(valid, scores, -jnp.inf)
+    top_scores, order = jax.lax.top_k(masked, n)
+    top_xy = centers_xy[order]
+    top_valid = jnp.isfinite(top_scores)
+
+    d2 = jnp.sum((top_xy[:, None, :] - top_xy[None, :, :]) ** 2, axis=-1)
+    adj = d2 <= min_radius  # reference compares squared distance to thresh
+
+    def body(i, keep):
+        later = jnp.arange(n) > i
+        return keep & ~(adj[i] & keep[i] & later)
+
+    keep = jax.lax.fori_loop(0, n, body, top_valid)
+    keep_scores = jnp.where(keep, top_scores, -jnp.inf)
+    sel_scores, sel = jax.lax.top_k(keep_scores, min(post_maxsize, n))
+    sel_mask = jnp.isfinite(sel_scores)
+    return (jnp.where(sel_mask, order[sel], -1), sel_mask,
+            jnp.where(sel_mask, sel_scores, 0.0))

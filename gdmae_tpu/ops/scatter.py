@@ -18,21 +18,26 @@ import jax
 import jax.numpy as jnp
 
 
-def segment_sum(values, segment_ids, num_segments):
-    return jax.ops.segment_sum(values, segment_ids, num_segments=num_segments)
+def segment_sum(values, segment_ids, num_segments, indices_are_sorted=False):
+    return jax.ops.segment_sum(values, segment_ids, num_segments=num_segments,
+                               indices_are_sorted=indices_are_sorted)
 
 
-def segment_mean(values, segment_ids, num_segments, eps=1e-9):
-    sums = jax.ops.segment_sum(values, segment_ids, num_segments=num_segments)
+def segment_mean(values, segment_ids, num_segments, eps=1e-9,
+                 indices_are_sorted=False):
+    sums = jax.ops.segment_sum(values, segment_ids, num_segments=num_segments,
+                               indices_are_sorted=indices_are_sorted)
     ones = jnp.ones(values.shape[:1], dtype=values.dtype)
-    counts = jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+    counts = jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments,
+                                 indices_are_sorted=indices_are_sorted)
     return sums / jnp.clip(counts[(...,) + (None,) * (values.ndim - 1)], eps, None)
 
 
-def segment_max(values, segment_ids, num_segments):
+def segment_max(values, segment_ids, num_segments, indices_are_sorted=False):
     """Max per segment; empty segments get 0 (torch_scatter.scatter_max pads 0
     for empty outputs in the reference's usage on ReLU'd features)."""
-    out = jax.ops.segment_max(values, segment_ids, num_segments=num_segments)
+    out = jax.ops.segment_max(values, segment_ids, num_segments=num_segments,
+                              indices_are_sorted=indices_are_sorted)
     return jnp.where(jnp.isneginf(out), 0.0, out)
 
 

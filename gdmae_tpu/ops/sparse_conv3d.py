@@ -163,3 +163,56 @@ def to_dense(feats, coords, mask, shape):
     canvas = jnp.zeros((nz * ny * nx + 1, c), feats.dtype)
     canvas = canvas.at[lin].set(feats, mode="drop")
     return canvas[:-1].reshape(nz, ny, nx, c)
+
+
+def voxel_query(query_xyz, query_valid, index: VoxelIndex, voxel_centers,
+                shape, voxel_size, pc_range, max_range, radius, nsample):
+    """Hash-free voxel neighborhood query (reference pointnet2_stack
+    voxel_query_gpu.cu:10: probe the ±max_range voxel neighborhood of each
+    query's cell, keep up to ``nsample`` occupied voxels within ``radius``).
+
+    The CUDA hash probe becomes a static neighbor-offset enumeration +
+    binary-search lookup on the sorted linear ids — pure gathers.
+
+    Args:
+        query_xyz: (M, 3) query positions.
+        query_valid: (M,) bool.
+        index: VoxelIndex over the voxel set (build_index).
+        voxel_centers: (V, 3) xyz centers of the indexed voxels.
+        shape: (nz, ny, nx) grid shape.
+        voxel_size / pc_range: geometry ((vx, vy, vz), (x0, y0, z0, ...)).
+        max_range: (rz, ry, rx) static neighborhood half-extent in cells.
+        radius: metric cutoff; nsample: static K.
+    Returns:
+        idx: (M, nsample) int32 into the voxel list; cnt: (M,) int32.
+    """
+    vs = jnp.asarray(voxel_size)
+    pr = jnp.asarray(pc_range)
+    cell = jnp.floor((query_xyz - pr[:3]) / vs).astype(jnp.int32)  # (M, [ix? no xyz])
+    # cell is (M, 3) in xyz order; grid coords are (iz, iy, ix)
+    cell_zyx = cell[:, ::-1]
+    rz, ry, rx = int(max_range[0]), int(max_range[1]), int(max_range[2])
+    offs = np.stack(np.meshgrid(
+        np.arange(-rz, rz + 1), np.arange(-ry, ry + 1), np.arange(-rx, rx + 1),
+        indexing="ij"), axis=-1).reshape(-1, 3)
+    offs = jnp.asarray(offs, jnp.int32)  # (K, 3)
+    nbr = cell_zyx[:, None, :] + offs[None, :, :]  # (M, K, 3)
+    shp = jnp.asarray(shape, jnp.int32)
+    inb = jnp.all((nbr >= 0) & (nbr < shp[None, None, :]), axis=-1) \
+        & query_valid[:, None]
+    lin = (nbr[..., 0] * shp[1] + nbr[..., 1]) * shp[2] + nbr[..., 2]
+    pos = lookup(index, jnp.where(inb, lin, 0).reshape(-1),
+                 inb.reshape(-1)).reshape(lin.shape)  # (M, K), -1 = miss
+    centers = voxel_centers[jnp.clip(pos, 0)]
+    d2 = jnp.sum((centers - query_xyz[:, None, :]) ** 2, axis=-1)
+    hit = (pos >= 0) & (d2 < radius * radius)
+    # keep first nsample hits in offset order (matches CUDA probe order)
+    k = offs.shape[0]
+    order_key = jnp.where(hit, jnp.arange(k)[None, :], k)
+    sorted_i = jnp.argsort(order_key, axis=-1)[:, :nsample]
+    sel = jnp.take_along_axis(pos, sorted_i, axis=1).astype(jnp.int32)
+    cnt = jnp.minimum(hit.sum(axis=-1), nsample).astype(jnp.int32)
+    first = sel[:, 0:1]
+    ks = jnp.arange(nsample)[None, :]
+    idx = jnp.where(ks < jnp.maximum(cnt[:, None], 1), sel, first)
+    return jnp.where(cnt[:, None] > 0, idx, -1), cnt

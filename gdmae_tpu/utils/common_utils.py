@@ -202,3 +202,45 @@ def merge_results_dist(result_part, size, tmpdir):
     ordered_results = ordered_results[:size]
     shutil.rmtree(tmpdir, ignore_errors=True)
     return ordered_results
+
+
+# ---- /dev/shm array cache (reference common_utils.py:309-313 sa_create; the
+# SharedArray package is replaced by tmpfs-backed .npy files + mmap reads,
+# which gives the same zero-copy multi-worker sharing on TPU hosts) --------- #
+SHM_ROOT = "/dev/shm"
+
+
+def sa_key_to_path(key):
+    import os.path as osp
+
+    return osp.join(SHM_ROOT, key.replace("shm://", "") + ".npy")
+
+
+def sa_create(key, var):
+    """Publish a numpy array under /dev/shm; returns a read-only mmap view."""
+    import os
+
+    path = sa_key_to_path(key)
+    tmp = path[:-4] + ".tmp%d.npy" % os.getpid()
+    np.save(tmp, var)
+    os.replace(tmp, path)  # atomic vs concurrent workers
+    return np.load(path, mmap_mode="r")
+
+
+def sa_exists(key):
+    import os.path as osp
+
+    return osp.exists(sa_key_to_path(key))
+
+
+def sa_attach(key):
+    return np.load(sa_key_to_path(key), mmap_mode="r")
+
+
+def sa_delete(key):
+    import os
+
+    try:
+        os.remove(sa_key_to_path(key))
+    except FileNotFoundError:
+        pass
