@@ -33,14 +33,11 @@ def main():
     from gdmae_tpu.runtime import optimization, train as train_lib
 
     cfg = cfg_from_yaml_file(str(REPO / "tools/cfgs/kitti_models/gd_mae_ssl.yaml"))
-    on_tpu_probe = jax.devices()[0].platform != "cpu"
-    batch_probe = 32 if on_tpu_probe else 2
-    # empirically-sized per-level window-bucket capacities (per batch) for
-    # the MAE encoder: 85% of pillars are masked, so the visible token set
-    # is ~6x smaller than a full detection scan
-    caps = [[160, 64, 32], [96, 48, 24], [64, 32, 16]]
+    # per-sample window-bucket capacities for the MAE encoder: 85% of
+    # pillars are masked, so the visible token set is ~6x smaller than a
+    # full detection scan (scaled by batch inside the backbone)
     cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS = [
-        [c * batch_probe for c in stage] for stage in caps]
+        [160, 64, 32], [96, 48, 24], [64, 32, 16]]
     meta = DatasetMeta(
         class_names=cfg.CLASS_NAMES,
         point_cloud_range=cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
@@ -52,7 +49,7 @@ def main():
     )
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    batch_size = 32 if on_tpu else 2
+    batch_size = 64 if on_tpu else 2
     model = build_network(cfg.MODEL, num_class=3, dataset=meta, dtype=dtype)
 
     rng = np.random.RandomState(0)
