@@ -38,6 +38,10 @@ def main():
     # full detection scan (scaled by batch inside the backbone)
     cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS = [
         [160, 64, 32], [96, 48, 24], [64, 32, 16]]
+    import os
+    if os.environ.get("GDMAE_NO_REMAT"):
+        cfg.MODEL.BACKBONE_3D.TPU_REMAT = False
+    batch_override = int(os.environ.get("GDMAE_BENCH_BATCH", 0))
     meta = DatasetMeta(
         class_names=cfg.CLASS_NAMES,
         point_cloud_range=cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
@@ -49,7 +53,7 @@ def main():
     )
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    batch_size = 64 if on_tpu else 2
+    batch_size = (batch_override or 64) if on_tpu else 2
     model = build_network(cfg.MODEL, num_class=3, dataset=meta, dtype=dtype)
 
     rng = np.random.RandomState(0)
@@ -70,15 +74,17 @@ def main():
     step = train_lib.make_train_step(model)
 
     key = jax.random.PRNGKey(0)
-    # warmup / compile
+    # warmup / compile; the float() readback guarantees compile+execute fully
+    # finished before timing starts (block_until_ready alone can return early
+    # through remote-device tunnels)
     state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+    float(jnp.sum(metrics["loss"]))
 
     iters = 20 if on_tpu else 3
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
+    float(jnp.sum(metrics["loss"]))
     dt = time.perf_counter() - t0
 
     scans_per_sec = batch_size * iters / dt

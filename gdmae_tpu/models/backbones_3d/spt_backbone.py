@@ -73,6 +73,7 @@ class SSTBlock(nn.Module):
     block_cfg: Any
     grid_hw: Tuple[int, int]  # input grid (Ny, Nx)
     win_caps: Tuple[int, ...]
+    remat: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -112,7 +113,11 @@ class SSTBlock(nn.Module):
             participate = cover if participate is None else (participate & cover)
 
         x = canvas
-        shift_block_cls = nn.remat(CanvasShiftBlock, static_argnums=())
+        # remat trades ~1 extra forward in the backward pass for O(layers)
+        # canvas activations of HBM; disable via TPU_REMAT: false when the
+        # batch fits (faster steps)
+        shift_block_cls = nn.remat(CanvasShiftBlock, static_argnums=()) \
+            if self.remat else CanvasShiftBlock
         for bi in range(int(enc.NUM_BLOCKS)):
             x = shift_block_cls(
                 d_model=d_model,
@@ -233,6 +238,7 @@ class SPTBackbone(nn.Module):
         for i, blk in enumerate(cfg.SST_BLOCK_LIST):
             canvas, occ = SSTBlock(
                 block_cfg=blk, grid_hw=grids[i], win_caps=caps[i],
+                remat=bool(cfg.get("TPU_REMAT", True)),
                 dtype=self.dtype, name=f"sst_block_{i}",
             )(canvas, occ, train=train)
             stride *= int(blk.ENCODER.STRIDE)

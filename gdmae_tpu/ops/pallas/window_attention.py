@@ -1,0 +1,176 @@
+"""Fused masked window attention (Pallas TPU kernel).
+
+The SST encoder runs thousands of tiny attentions — one per BEV window —
+with T in {16, 32, 64} tokens and head_dim 16/32 (reference
+pcdet/models/model_utils/sst_basic_block.py WindowAttention loops drop-level
+buckets through torch MHA).  Two problems for the TPU:
+
+* the XLA einsum path materializes the ``(W, H, T, T)`` logits tensor in HBM
+  twice (softmax in, probs out) — >100 MB of pure bandwidth per layer;
+* T×T matmuls (16×16 .. 64×64) are far below the 128×128 MXU tile, so both
+  XLA's batched dot and a naive per-window kernel waste >90% of the MXU.
+
+This kernel solves both: each grid step packs G = 128//T windows of one head
+into a single (128, D) tile and computes ONE 128×128 block-diagonal
+attention — off-diagonal window pairs are masked to -inf, so softmax rows
+only span their own window's keys.  The MXU runs fully-shaped matmuls, and
+logits/probabilities never leave VMEM.  The key-padding mask enters as a
+pre-flattened additive f32 bias (Mosaic cannot reshape packed bool vectors).
+
+Cosine attention (L2-normalized q/k, learnable tau) folds into this shape by
+normalizing+scaling q beforehand — elementwise work XLA fuses into the
+projection matmul.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _block_diag_bias(s, t):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0) // t
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1) // t
+    return jnp.where(rows == cols, 0.0, -1e9).astype(jnp.float32)
+
+
+def _softmax_rows(logits):
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _attn_kernel(t, q_ref, k_ref, v_ref, bias_ref, o_ref):
+    g = q_ref.shape[0]
+    s = g * t
+    d = q_ref.shape[-1]
+    qf = q_ref[:, 0].reshape(s, d)
+    kf = k_ref[:, 0].reshape(s, d)
+    vf = v_ref[:, 0].reshape(s, d)
+
+    logits = jax.lax.dot_general(
+        qf, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    logits = logits + bias_ref[0] + _block_diag_bias(s, t)
+    p = _softmax_rows(logits)
+    out = jax.lax.dot_general(
+        p.astype(vf.dtype), vf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:, 0] = out.reshape(g, t, d).astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel(t, q_ref, k_ref, v_ref, bias_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref):
+    """Recompute the probabilities in VMEM, then
+    dv = p^T g;  ds = p * (g v^T - rowsum(g v^T * p));  dq = ds k;  dk = ds^T q.
+    """
+    g = q_ref.shape[0]
+    s = g * t
+    d = q_ref.shape[-1]
+    qf = q_ref[:, 0].reshape(s, d).astype(jnp.float32)
+    kf = k_ref[:, 0].reshape(s, d).astype(jnp.float32)
+    vf = v_ref[:, 0].reshape(s, d).astype(jnp.float32)
+    gf = g_ref[:, 0].reshape(s, d).astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        qf, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    logits = logits + bias_ref[0] + _block_diag_bias(s, t)
+    p = _softmax_rows(logits)
+
+    dv = jax.lax.dot_general(  # p^T @ g
+        p, gf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(  # g @ v^T
+        gf, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(
+        ds, kf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(  # ds^T @ q
+        ds, qf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    dq_ref[:, 0] = dq.reshape(g, t, d).astype(dq_ref.dtype)
+    dk_ref[:, 0] = dk.reshape(g, t, d).astype(dk_ref.dtype)
+    dv_ref[:, 0] = dv.reshape(g, t, d).astype(dv_ref.dtype)
+
+
+def _pick_group(w, t):
+    """Windows per block: fill a 128-row tile, fall back to a divisor of W."""
+    g = max(1, min(w, 128 // t))
+    while w % g:
+        g -= 1
+    return g
+
+
+def _specs(t, d, g):
+    blk = pl.BlockSpec((g, 1, t, d), lambda wi, hi: (wi, hi, 0, 0))
+    # bias rides as (W//g, 1, g*t): the block (1, 1, g*t) then matches the
+    # trailing array dims exactly, satisfying Mosaic's tiling constraints
+    # (1-D f32 inputs get an incompatible T(1024) XLA tiling)
+    bias_blk = pl.BlockSpec((1, 1, g * t), lambda wi, hi: (wi, 0, 0))
+    return blk, bias_blk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_attention(q, k, v, bias_flat, interpret):
+    w, h, t, d = q.shape
+    g = _pick_group(w, t)
+    blk, bias_blk = _specs(t, d, g)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, t),
+        out_shape=jax.ShapeDtypeStruct((w, h, t, d), q.dtype),
+        grid=(w // g, h),
+        in_specs=[blk, blk, blk, bias_blk],
+        out_specs=blk,
+        interpret=interpret,
+    )(q, k, v, bias_flat)
+
+
+def _fused_attention_fwd(q, k, v, bias_flat, interpret):
+    return _fused_attention(q, k, v, bias_flat, interpret), (q, k, v, bias_flat)
+
+
+def _fused_attention_bwd(interpret, res, g_out):
+    q, k, v, bias_flat = res
+    w, h, t, d = q.shape
+    g = _pick_group(w, t)
+    blk, bias_blk = _specs(t, d, g)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, t),
+        out_shape=[jax.ShapeDtypeStruct((w, h, t, d), q.dtype)] * 3,
+        grid=(w // g, h),
+        in_specs=[blk, blk, blk, bias_blk, blk],
+        out_specs=[blk, blk, blk],
+        interpret=interpret,
+    )(q, k, v, bias_flat, g_out)
+    return dq, dk, dv, None
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_window_attention(q, k, v, valid, interpret: bool = False):
+    """softmax(q @ k^T + key_padding_mask) @ v per (window, head), fused.
+
+    Args:
+        q, k, v: (W, H, T, D) — any scaling (1/sqrt(d) or cosine tau) must
+            already be folded into q.
+        valid: (W, T) bool key-padding mask (shared across heads).
+    Returns:
+        (W, H, T, D) attention output (invalid queries produce garbage rows —
+        callers mask, as they already do for the einsum path).
+    """
+    w, h, t, d = q.shape
+    g = _pick_group(w, t)
+    bias2d = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)\
+        .reshape(w // g, 1, g * t)
+    return _fused_attention(q, k, v, bias2d, interpret)
+
+
+def reference_window_attention(q, k, v, valid):
+    """Pure-XLA fallback (identical math; used on CPU and as the test oracle)."""
+    logits = jnp.einsum("whtd,whsd->whts", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = jnp.where(valid[:, None, None, :], logits, -1e9)
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("whts,whsd->whtd", attn.astype(v.dtype), v)

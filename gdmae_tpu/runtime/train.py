@@ -90,6 +90,53 @@ def make_train_step(model, donate: bool = True) -> Callable:
     return jax.jit(train_step, donate_argnums=donate_argnums)
 
 
+def make_scan_train_step(model, donate: bool = True) -> Callable:
+    """Multi-step train loop fused into ONE device program via ``lax.scan``.
+
+    (state, batches, rng) -> (state, stacked_metrics), where every leaf of
+    ``batches`` carries a leading micro-step axis K.  One dispatch executes K
+    optimizer steps back-to-back on device — essential when the host↔device
+    link has high latency (remote accelerators) and useful everywhere to hide
+    host dataloader jitter.  The reference's torch loop pays a python+launch
+    round-trip per step (tools/train_utils/train_utils.py:19-60); here the
+    loop lives in the compiled program.
+    """
+    def loss_fn(params, batch_stats, batch, rng):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch,
+            train=True,
+            rngs={"mae_mask": rng,
+                  "proposal_sampler": jax.random.fold_in(rng, 1)},
+            mutable=["batch_stats"],
+        )
+        return out["loss"], (mutated["batch_stats"], out.get("tb_dict", {}))
+
+    def one_step(state, batch, rng):
+        (loss, (new_bs, tb)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng
+        )
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **tb, "grad_norm": optax.global_norm(grads)}
+        return state.replace(step=state.step + 1, params=new_params,
+                             batch_stats=new_bs, opt_state=new_opt), metrics
+
+    def scan_step(state: TrainState, batches, rng):
+        def body(carry, xs):
+            st, i = carry
+            batch = xs
+            new_st, metrics = one_step(st, batch, jax.random.fold_in(rng, i))
+            return (new_st, i + 1), metrics
+
+        (state, _), metrics = jax.lax.scan(
+            body, (state, jnp.int32(0)), batches)
+        return state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(scan_step, donate_argnums=donate_argnums)
+
+
 def make_eval_step(model) -> Callable:
     def eval_step(params, batch_stats, batch):
         return model.apply(
