@@ -24,11 +24,13 @@ class PointPillarScatter(nn.Module):
     @nn.compact
     def __call__(self, batch_dict, train: bool = True):
         ny, nx = int(self.grid_size[1]), int(self.grid_size[0])
+        # hard-voxelized pillars arrive in first-come (NOT raster) order
         canvas, occ = scatter_pillars_to_canvas(
             batch_dict["pillar_features"].astype(self.dtype),
             batch_dict["pillar_coords"],
             batch_dict["pillar_mask"],
             (ny, nx),
+            sorted_cells=False,
         )
         batch_dict["spatial_features"] = canvas
         batch_dict["spatial_occupancy"] = occ

@@ -28,98 +28,199 @@ from ...config import as_easy
 from ...ops import scatter as scatter_ops
 from ...ops import window as window_ops
 from ...utils import common_utils
-from ..model_utils.blocks import ConvBNReLU, MaskedBatchNorm, dilate_occupancy
+from ..model_utils.blocks import (
+    ConvBNReLU, MaskedBatchNorm, TokenConvBNReLU, dilate_occupancy)
 from ..model_utils.sst_layers import CanvasShiftBlock
 
 
-def scatter_pillars_to_canvas(pillar_features, pillar_coords, pillar_mask, grid_hw):
-    """(B, M, C) pillar list -> (B, Ny, Nx, C) canvas + (B, Ny, Nx) occupancy.
+import functools
 
-    The C-wide feature placement is a gather through an int32 inverse index
-    (one narrow scatter builds the index; TPU scatters serialize, gathers
-    don't)."""
+
+def _place_impl(pillar_features, inv):
     b, m, c = pillar_features.shape
+    feats_pad = jnp.concatenate(
+        [pillar_features, jnp.zeros((b, 1, c), pillar_features.dtype)], axis=1)
+    return jnp.take_along_axis(feats_pad, inv[..., None], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _canvas_gather_p(canvas_flat, coords, mask, grid_hw):
     ny, nx = grid_hw
-    flat_idx = pillar_coords[..., 0] * nx + pillar_coords[..., 1]  # (B, M)
-    flat_idx = jnp.where(pillar_mask, flat_idx, ny * nx)  # trash cell
-
-    def one(feats, idx, mask):
-        inv = jnp.full((ny * nx + 1,), m, jnp.int32)
-        inv = inv.at[idx].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
-        inv = inv.at[ny * nx].set(m)
-        inv = inv[:-1]
-        occ = inv < m
-        feats_pad = jnp.concatenate([feats, jnp.zeros((1, c), feats.dtype)], 0)
-        canvas = feats_pad[inv]
-        return canvas.reshape(ny, nx, c), occ.reshape(ny, nx)
-
-    return jax.vmap(one)(pillar_features, flat_idx, pillar_mask)
+    idx = (coords[..., 0] * nx + coords[..., 1]).clip(0, ny * nx - 1)
+    out = jnp.take_along_axis(canvas_flat, idx[..., None], axis=1)
+    return out * mask[..., None].astype(out.dtype)
 
 
-def gather_canvas_at(canvas, coords, grid_hw):
-    """canvas (B, Ny, Nx, C) sampled at per-sample (M, 2) [iy, ix] coords."""
+def _cg_fwd(canvas_flat, coords, mask, grid_hw):
+    return (_canvas_gather_p(canvas_flat, coords, mask, grid_hw),
+            (coords, mask, canvas_flat.shape))
+
+
+def _cg_bwd(grid_hw, res, g):
+    # token coords are unique per sample, so the transpose of the canvas
+    # gather is canvas PLACEMENT of the token grads (binary search + gather,
+    # no scatter-add)
+    coords, mask, (b, ncell, c) = res
+    ny, nx = grid_hw
+    g = g * mask[..., None].astype(g.dtype)
+    inv = window_ops.build_cell2tok(coords, mask, (ny, nx))
+    gcanvas = _place_impl(g, inv)
+    return (gcanvas, None, None)
+
+
+_canvas_gather_p.defvjp(_cg_fwd, _cg_bwd)
+
+
+def gather_canvas_at(canvas, coords, grid_hw, mask=None):
+    """canvas (B, Ny, Nx, C) sampled at per-sample (M, 2) [iy, ix] coords.
+
+    With ``mask`` (raster-sorted coords required) both VJP directions are
+    pure gathers; without it JAX derives a scatter-add transpose."""
     ny, nx = grid_hw
     b, m, _ = coords.shape
     flat = canvas.reshape(b, ny * nx, -1)
+    if mask is not None:
+        return _canvas_gather_p(flat, coords, mask, (ny, nx))
     idx = (coords[..., 0] * nx + coords[..., 1]).clip(0, ny * nx - 1)
     return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _canvas_place_p(pillar_features, inv, tok_flat_idx, grid_hw):
+    return _place_impl(pillar_features, inv)
+
+
+def _cp_fwd(pillar_features, inv, tok_flat_idx, grid_hw):
+    return (_place_impl(pillar_features, inv),
+            (inv, tok_flat_idx, pillar_features.shape))
+
+
+def _cp_bwd(grid_hw, res, g):
+    # g: (B, Ny*Nx, C).  Each token owns exactly one cell -> cotangent is
+    # a gather of g at the token's flat cell (trash cell Ny*Nx -> zero).
+    inv, tok_flat_idx, (b, m, c) = res
+    ny, nx = grid_hw
+    g_pad = jnp.concatenate(
+        [g, jnp.zeros((b, 1, g.shape[-1]), g.dtype)], axis=1)
+    idx = jnp.minimum(tok_flat_idx, ny * nx)
+    gfeats = jnp.take_along_axis(g_pad, idx[..., None], axis=1)
+    return (gfeats.astype(jnp.float32).astype(g.dtype), None, None)
+
+
+_canvas_place_p.defvjp(_cp_fwd, _cp_bwd)
+
+
+def scatter_pillars_to_canvas(pillar_features, pillar_coords, pillar_mask,
+                              grid_hw, sorted_cells: bool = True):
+    """(B, M, C) pillar list -> (B, Ny, Nx, C) canvas + (B, Ny, Nx) occupancy.
+
+    The C-wide feature placement is a pure gather through the cell->token
+    index (binary search over the raster-sorted pillar cells — every token
+    list in the pipeline is raster-ordered; TPU scatters serialize, gathers
+    and searchsorted don't), and the VJP is a gather at the token coords.
+    Pass ``sorted_cells=False`` for arbitrary coordinate order."""
+    b, m, c = pillar_features.shape
+    ny, nx = grid_hw
+    inv = window_ops.build_cell2tok(
+        pillar_coords, pillar_mask, (ny, nx), sorted_cells=sorted_cells)
+    occ = (inv < m).reshape(b, ny, nx)
+    tok_flat = window_ops.token_cell_index(pillar_coords, pillar_mask, (ny, nx))
+    canvas = _canvas_place_p(pillar_features, inv, tok_flat, (ny, nx))
+    return canvas.reshape(b, ny, nx, c), occ
 
 
 class SSTBlock(nn.Module):
     """One pyramid stage: optional stride-2 down conv, window-transformer
     encoder, residual, submanifold out conv (reference SSTBlockV1,
-    spt_backbone.py:197-264)."""
+    spt_backbone.py:197-264).
+
+    Token-resident: features live in a compact per-sample ``(B, M, C)``
+    token list; the dense canvas is materialized at most once per stage
+    (for the dense conv path and the stage's output feature map), instead
+    of round-tripping the full ``(B, Ny, Nx, C)`` canvas through every
+    encoder layer.  With ``sparse_conv`` the convs themselves are
+    gather-based (ops.token_conv) and the canvas is only written once as
+    the stage output.
+    """
 
     block_cfg: Any
     grid_hw: Tuple[int, int]  # input grid (Ny, Nx)
     win_caps: Tuple[int, ...]
+    token_cap_out: int = 0  # token capacity after stride (0 = keep input M)
+    sparse_conv: bool = False
     remat: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, canvas, occ, train: bool = True):
+    def __call__(self, tokens, coords, mask, occ, canvas_in=None,
+                 train: bool = True):
+        """tokens (B, M, C); coords (B, M, 2) on the input grid; mask (B, M);
+        occ (B, Ny, Nx).  Returns (tokens, coords, mask, occ, canvas_out)
+        on the stage's output grid."""
         blk = as_easy(self.block_cfg)
         enc = blk.ENCODER
         pre = blk.PREPROCESS
         d_model = int(enc.D_MODEL)
         stride = int(enc.STRIDE)
         ny, nx = self.grid_hw
+        b, m, _ = tokens.shape
 
         if stride > 1:
             occ_out = dilate_occupancy(occ, kernel=3, stride=stride)
-            canvas = ConvBNReLU(
-                d_model, kernel=3, stride=stride, dtype=self.dtype, name="conv_down"
-            )(canvas, occ_out=occ_out, train=train)
-            occ = occ_out
-            ny, nx = occ.shape[1], occ.shape[2]
+            ny2, nx2 = occ_out.shape[1], occ_out.shape[2]
+            cap = self.token_cap_out or min(ny2 * nx2, 4 * m)
+            coords_out, mask_out = window_ops.compact_occupancy(occ_out, cap)
+            if self.sparse_conv:
+                c2t_in = window_ops.build_cell2tok(coords, mask, (ny, nx))
+                tokens = TokenConvBNReLU(
+                    d_model, kernel=3, stride=stride, dtype=self.dtype,
+                    name="conv_down",
+                )(tokens, c2t_in, (ny, nx), coords_out, mask_out,
+                  coords_in=coords, mask_in=mask, train=train)
+            else:
+                if canvas_in is None:
+                    canvas_in, _ = scatter_pillars_to_canvas(
+                        tokens, coords, mask, (ny, nx))
+                canvas = ConvBNReLU(
+                    d_model, kernel=3, stride=stride, dtype=self.dtype,
+                    name="conv_down",
+                )(canvas_in, occ_out=occ_out, train=train)
+                tokens = gather_canvas_at(
+                    canvas, coords_out, (ny2, nx2), mask=mask_out)
+            coords, mask, occ = coords_out, mask_out, occ_out
+            ny, nx = ny2, nx2
+            m = tokens.shape[1]
 
         window = (int(pre.WINDOW_SHAPE[1]), int(pre.WINDOW_SHAPE[0]))  # (wy, wx)
         drop_specs = window_ops.drop_specs_from_cfg(
             pre.DROP_INFO["train" if train else "test"]
         )
+        c2t = window_ops.build_cell2tok(coords, mask, (ny, nx))
+        tcell = window_ops.token_cell_index(coords, mask, (ny, nx))
         plans = [
-            window_ops.build_bucket_plan(
-                occ, (ny, nx), window, shift, drop_specs, self.win_caps
-            )
+            window_ops.plan_to_tokens(
+                window_ops.build_bucket_plan(
+                    occ, (ny, nx), window, shift, drop_specs, self.win_caps),
+                c2t, tcell, m)
             for shift in ((0, 0), (window[0] // 2, window[1] // 2))
         ]
-        # cells covered by both shifts participate in the encoder; others
+        # tokens covered by both shifts participate in the encoder; others
         # (bucket overflow only) keep their input features, mirroring the
         # reference's token-drop residual (spt_backbone.py:260-262)
-        b = occ.shape[0]
         participate = None
         for plan in plans:
-            cover = window_ops.covered_mask(plan, b, ny, nx)
+            cover = plan.inv_idx < plan.total_tokens  # (B, M)
             participate = cover if participate is None else (participate & cover)
+        participate = participate & mask
 
-        x = canvas
+        rows = tokens
         # remat trades ~1 extra forward in the backward pass for O(layers)
-        # canvas activations of HBM; disable via TPU_REMAT: false when the
+        # token activations of HBM; disable via TPU_REMAT: false when the
         # batch fits (faster steps)
         shift_block_cls = nn.remat(CanvasShiftBlock, static_argnums=()) \
             if self.remat else CanvasShiftBlock
         for bi in range(int(enc.NUM_BLOCKS)):
-            x = shift_block_cls(
+            rows = shift_block_cls(
                 d_model=d_model,
                 nhead=int(enc.NHEAD),
                 dim_feedforward=int(enc.DIM_FEEDFORWARD),
@@ -131,13 +232,25 @@ class SSTBlock(nn.Module):
                 tau_min=float(enc.get("LAYER_CFG", {}).get("tau_min", 0.01)),
                 dtype=self.dtype,
                 name=f"shift_block_{bi}",
-            )(x, plans)
-        mask = (participate & occ)[..., None].astype(canvas.dtype)
-        x = canvas + x * mask
-        x = ConvBNReLU(d_model, kernel=3, dtype=self.dtype, name="conv_out")(
-            x, occ_out=occ, train=train
-        )
-        return x, occ
+            )(rows, plans)
+        upd = participate[..., None].astype(tokens.dtype)
+        tokens = tokens + rows * upd
+
+        if self.sparse_conv:
+            tokens = TokenConvBNReLU(
+                d_model, kernel=3, dtype=self.dtype, name="conv_out",
+            )(tokens, c2t, (ny, nx), coords, mask,
+              coords_in=coords, mask_in=mask, train=train)
+            canvas_out, _ = scatter_pillars_to_canvas(
+                tokens, coords, mask, (ny, nx))
+        else:
+            canvas_mid, _ = scatter_pillars_to_canvas(
+                tokens, coords, mask, (ny, nx))
+            canvas_out = ConvBNReLU(
+                d_model, kernel=3, dtype=self.dtype, name="conv_out",
+            )(canvas_mid, occ_out=occ, train=train)
+            tokens = gather_canvas_at(canvas_out, coords, (ny, nx), mask=mask)
+        return tokens, coords, mask, occ, canvas_out
 
 
 class DeconvFuse(nn.Module):
@@ -201,14 +314,16 @@ class SPTBackbone(nn.Module):
         return grids
 
     def stage_caps(self, batch_size: int):
+        """Per-sample per-level window capacities (buckets are per-sample,
+        so these do NOT scale with batch size)."""
+        del batch_size
         cfg = as_easy(self.model_cfg)
         caps_cfg = cfg.get("TPU_WINDOW_CAPS", None)
         grids = self.block_grids()
         out = []
         for i, blk in enumerate(cfg.SST_BLOCK_LIST):
             if caps_cfg is not None:
-                # configured caps are PER-SAMPLE; buckets are global
-                out.append(tuple(int(c) * batch_size for c in caps_cfg[i]))
+                out.append(tuple(int(c) for c in caps_cfg[i]))
                 continue
             s = int(blk.ENCODER.STRIDE)
             ny, nx = grids[i]
@@ -216,31 +331,33 @@ class SPTBackbone(nn.Module):
             drop_specs = window_ops.drop_specs_from_cfg(blk.PREPROCESS.DROP_INFO["train"])
             window = (int(blk.PREPROCESS.WINDOW_SHAPE[1]), int(blk.PREPROCESS.WINDOW_SHAPE[0]))
             out.append(window_ops.default_win_caps(
-                (ny, nx), window, self.max_pillars, drop_specs, batch_size))
+                (ny, nx), window, self.max_pillars, drop_specs))
         return out
 
     @nn.compact
     def __call__(self, batch_dict, train: bool = True):
         ny, nx = int(self.grid_size[1]), int(self.grid_size[0])
         b = batch_dict["pillar_features"].shape[0]
-        canvas, occ = scatter_pillars_to_canvas(
-            batch_dict["pillar_features"].astype(self.dtype),
-            batch_dict["pillar_coords"],
-            batch_dict["pillar_mask"],
-            (ny, nx),
-        )
+        tokens = batch_dict["pillar_features"].astype(self.dtype)
+        coords = batch_dict["pillar_coords"]
+        mask = batch_dict["pillar_mask"]
+        occ = window_ops.occupancy_from_coords(coords, mask, (ny, nx))
 
         cfg = as_easy(self.model_cfg)
         grids = self.block_grids()
         caps = self.stage_caps(b)
+        tok_caps = cfg.get("TPU_TOKEN_CAPS", None)
         feature_maps, occs, strides = {}, {}, {}
         stride = 1
+        canvas = None
         for i, blk in enumerate(cfg.SST_BLOCK_LIST):
-            canvas, occ = SSTBlock(
+            tokens, coords, mask, occ, canvas = SSTBlock(
                 block_cfg=blk, grid_hw=grids[i], win_caps=caps[i],
+                token_cap_out=int(tok_caps[i]) if tok_caps is not None else 0,
+                sparse_conv=bool(cfg.get("TPU_SPARSE_CONV", False)),
                 remat=bool(cfg.get("TPU_REMAT", True)),
                 dtype=self.dtype, name=f"sst_block_{i}",
-            )(canvas, occ, train=train)
+            )(tokens, coords, mask, occ, canvas_in=canvas, train=train)
             stride *= int(blk.ENCODER.STRIDE)
             feature_maps[f"x_conv{i+1}"] = canvas
             occs[f"x_conv{i+1}"] = occ
@@ -304,12 +421,25 @@ class SPTBackboneMAE(nn.Module):
         kept = pillar_mask & (mae_mask == 0.0)
 
         ny, nx = int(self.grid_size[1]), int(self.grid_size[0])
-        canvas, occ = scatter_pillars_to_canvas(
-            batch_dict["pillar_features"].astype(self.dtype),
-            batch_dict["pillar_coords"],
-            kept,
-            (ny, nx),
-        )
+
+        # compact the ~(1-ratio) kept pillars into a small static token
+        # list so the whole encoder scales with the VISIBLE set (the
+        # reference encodes only kept pillars through spconv,
+        # spt_backbone_mae.py:102-113).  random_masking keeps exactly
+        # floor(n_valid*(1-ratio)) pillars, so this capacity never drops.
+        m_enc = int(cfg.get(
+            "TPU_MAE_TOKEN_CAP",
+            -(-int(m * (1.0 - mask_ratio) + 1) // 8) * 8))
+        kept_idx = jax.vmap(
+            lambda k: jnp.nonzero(k, size=m_enc, fill_value=m)[0]
+        )(kept)  # (B, m_enc)
+        kept_valid = kept_idx < m
+        kept_idx_c = jnp.minimum(kept_idx, m - 1)
+        tokens_c = jnp.take_along_axis(
+            batch_dict["pillar_features"], kept_idx_c[..., None], axis=1)
+        tokens_c = tokens_c * kept_valid[..., None].astype(tokens_c.dtype)
+        coords_c = jnp.take_along_axis(
+            batch_dict["pillar_coords"], kept_idx_c[..., None], axis=1)
 
         encoder = SPTBackbone(
             model_cfg=cfg,
@@ -323,9 +453,9 @@ class SPTBackboneMAE(nn.Module):
         )
         # run pyramid + generative decoder (deconv fuse) on the kept pillars
         sub_dict = {
-            "pillar_features": batch_dict["pillar_features"],
-            "pillar_coords": batch_dict["pillar_coords"],
-            "pillar_mask": kept,
+            "pillar_features": tokens_c,
+            "pillar_coords": coords_c,
+            "pillar_mask": kept_valid,
         }
         sub_dict = encoder(sub_dict, train=train)
         spatial_features = sub_dict["spatial_features"]  # (B, Ny, Nx, C)
@@ -336,7 +466,8 @@ class SPTBackboneMAE(nn.Module):
 
         # gather decoded features at ALL pillar coords (masked + visible)
         all_feats = gather_canvas_at(
-            spatial_features, batch_dict["pillar_coords"], (ny, nx)
+            spatial_features, batch_dict["pillar_coords"], (ny, nx),
+            mask=batch_dict["pillar_mask"],
         )  # (B, M, C)
 
         # per-pillar point-set prediction
@@ -344,13 +475,15 @@ class SPTBackboneMAE(nn.Module):
             all_feats.astype(jnp.float32)
         ).reshape(b, m, num_prd, 3)
 
-        # GT point sets: first NUM_GT_POINTS points of each pillar,
-        # wrap-repeated (reference sst_ops group_inner_inds)
+        # GT point sets: first NUM_GT_POINTS points of each pillar
+        # (reference sst_ops group_inner_inds wrap-repeats; here padded
+        # with a mask consumed by the Chamfer loss — same point set, one
+        # contiguous slice-gather per pillar instead of M*K row gathers)
         points = batch_dict["points"]
         res = batch_dict["pillarize_result"]
-        gt_points = jax.vmap(
-            lambda v, r: scatter_ops.group_points_wrap(v, r, num_gt)
-        )(points[..., :3], res)  # (B, M, num_gt, 3)
+        gt_points, gt_mask = jax.vmap(
+            lambda v, r: scatter_ops.group_points_padded(v, r, num_gt)
+        )(points[..., :3], res)  # (B, M, num_gt, 3), (B, M, num_gt)
 
         centers = jnp.stack(
             [
@@ -367,6 +500,7 @@ class SPTBackboneMAE(nn.Module):
 
         batch_dict["mae_pred_points"] = pred
         batch_dict["mae_gt_points"] = norm_gt
+        batch_dict["mae_gt_mask"] = gt_mask
         batch_dict["mae_gt_counts"] = res.pillar_count
         # loss weight: masked AND real pillars (reference weights by
         # voxel_mae_mask, spt_backbone_mae.py:88)

@@ -275,11 +275,14 @@ class GDMAE(Detector3DTemplate):
 
         pred = batch_dict["mae_pred_points"]  # (B, M, P1, 3)
         gt = batch_dict["mae_gt_points"]  # (B, M, P2, 3)
+        gt_mask = batch_dict.get("mae_gt_mask")  # (B, M, P2) or None
         w = batch_dict["mae_loss_mask"]  # (B, M)
         b, m = w.shape
         loss = loss_utils.chamfer_distance(
             pred.reshape(b * m, *pred.shape[2:]),
             gt.reshape(b * m, *gt.shape[2:]),
+            gt_mask=(None if gt_mask is None
+                     else gt_mask.reshape(b * m, gt.shape[2])),
             weights=w.reshape(b * m),
         )
         batch_dict["loss"] = loss

@@ -172,6 +172,43 @@ class MLP(nn.Module):
         return x
 
 
+class TokenConvBNReLU(nn.Module):
+    """Gather-based sparse Conv2d(bias=False) + masked BN + ReLU over a
+    compact token list (ops.token_conv.gather_conv2d).
+
+    Numerically equivalent to :class:`ConvBNReLU` on the scattered canvas
+    (XLA SAME padding, zeros at inactive cells), but FLOPs and HBM traffic
+    scale with the number of ACTIVE sites instead of the grid area — the
+    TPU analogue of spconv's submanifold/strided sparse conv
+    (reference pcdet/utils/spconv_utils.py post_act_block).
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, cell2tok_in, grid_in_hw, coords_out, mask_out,
+                 coords_in=None, mask_in=None, train: bool = True):
+        from ...ops.token_conv import gather_conv2d
+
+        cin = tokens.shape[-1]
+        w = self.param(
+            "kernel", kaiming_conv_init(),
+            (self.kernel, self.kernel, cin, self.features), jnp.float32)
+        y = gather_conv2d(
+            tokens, cell2tok_in, grid_in_hw, coords_out, mask_out,
+            w.astype(self.dtype), stride=self.stride,
+            coords_in=coords_in, mask_in=mask_in)
+        y = MaskedBatchNorm(dtype=self.dtype)(
+            y, mask=mask_out, use_running_average=not train)
+        if self.use_relu:
+            y = nn.relu(y)
+        return y * mask_out[..., None].astype(y.dtype)
+
+
 def dilate_occupancy(occ, kernel: int = 3, stride: int = 1):
     """Occupancy of a strided sparse-conv output: any input voxel under the
     kernel footprint activates the output site (spconv SparseConv2d

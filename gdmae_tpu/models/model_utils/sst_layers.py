@@ -18,6 +18,7 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ...ops import window as window_ops
@@ -29,7 +30,9 @@ class CosineMultiheadAttention(nn.Module):
     (reference cosine_msa.py:114-178, :441-458; enabled by config
     LAYER_CFG {cosine: True, tau_min: 0.01}).
 
-    Operates on (W, T, C) window buckets with a (W, T) validity mask.
+    Operates on (..., T, C) window buckets with a (..., T) validity mask —
+    typically (B, W, T, C) per-sample buckets, which keeps data-parallel
+    sharding collective-free.
     """
 
     d_model: int
@@ -41,7 +44,7 @@ class CosineMultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, qk: jnp.ndarray, v: jnp.ndarray, valid: jnp.ndarray):
-        w, t, c = qk.shape
+        *lead, t, c = qk.shape
         h = self.nhead
         hd = c // h
         # torch MHA packs q/k/v projections into one in_proj (with bias)
@@ -53,14 +56,16 @@ class CosineMultiheadAttention(nn.Module):
         k = qk @ qkv_w[:, c : 2 * c].astype(self.dtype) + qkv_b[c : 2 * c].astype(self.dtype)
         vv = v @ qkv_w[:, 2 * c :].astype(self.dtype) + qkv_b[2 * c :].astype(self.dtype)
 
-        q = q.reshape(w, t, h, hd).transpose(0, 2, 1, 3)  # (W, H, T, hd)
-        k = k.reshape(w, t, h, hd).transpose(0, 2, 1, 3)
-        vv = vv.reshape(w, t, h, hd).transpose(0, 2, 1, 3)
+        def heads(x):  # (..., T, C) -> (..., H, T, hd)
+            x = x.reshape(*lead, t, h, hd)
+            return jnp.moveaxis(x, -2, -3)
+
+        q, k, vv = heads(q), heads(k), heads(vv)
 
         if self.cosine:
             q = q * jax.lax.rsqrt(jnp.sum(jnp.square(q), -1, keepdims=True) + 1e-12)
             k = k * jax.lax.rsqrt(jnp.sum(jnp.square(k), -1, keepdims=True) + 1e-12)
-            tau_shape = (1, h, 1, 1) if self.non_shared_tau else (1, 1, 1, 1)
+            tau_shape = (h, 1, 1) if self.non_shared_tau else (1, 1, 1)
             tau = self.param("tau", nn.initializers.ones, tau_shape, jnp.float32)
             # fold the temperature into q so the attention core is a plain
             # softmax(qk^T)v — lets the fused Pallas kernel handle both modes
@@ -79,11 +84,15 @@ class CosineMultiheadAttention(nn.Module):
         if jax.devices()[0].platform != "cpu" and \
                 os.environ.get("GDMAE_ENABLE_PALLAS_ATTN"):
             # rows belonging to invalid queries may be garbage; zeroed below
-            out = fused_window_attention(q, k, vv, valid)
+            wtot = int(np.prod(lead)) if lead else 1
+            out = fused_window_attention(
+                q.reshape(wtot, h, t, hd), k.reshape(wtot, h, t, hd),
+                vv.reshape(wtot, h, t, hd), valid.reshape(wtot, t))
+            out = out.reshape(*lead, h, t, hd)
         else:
             out = reference_window_attention(q, k, vv, valid)
         out = out.astype(self.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(w, t, c)
+        out = jnp.moveaxis(out, -3, -2).reshape(*lead, t, c)
         out = nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
         return out * valid[..., None].astype(out.dtype)
 
@@ -146,7 +155,7 @@ class BucketEncoderLayer(nn.Module):
         raise NotImplementedError(self.activation)
 
     def __call__(self, feats, pos, valid):
-        """feats/pos: (W, T, C); valid: (W, T)."""
+        """feats/pos: (..., T, C); valid: (..., T)."""
         src2 = self.win_attn(feats + pos, feats, valid)
         src = self.norm1(feats, src2)
         src2 = self.linear2(self._act(self.linear1(src)))
@@ -155,12 +164,18 @@ class BucketEncoderLayer(nn.Module):
 
 
 class CanvasShiftBlock(nn.Module):
-    """Two encoder layers alternating shift0/shift1 window layouts on a
-    dense canvas (reference sst_basic_block.py:87-114 BasicShiftBlockV2).
+    """Two encoder layers alternating shift0/shift1 window layouts over a
+    compact token-row tensor (reference sst_basic_block.py:87-114
+    BasicShiftBlockV2).
 
-    Each layer: gather canvas tokens into per-level buckets for its shift,
-    run the bucket encoder layer on every level (shared weights), scatter
-    the updated tokens back.
+    Each layer: gather token rows into per-level buckets for its shift, run
+    the bucket encoder layer on every level (shared weights), write the
+    updated tokens back (a pure gather through the plan's inverse index).
+    ``rows`` is (B, M, C) — either a compact token list with token-space
+    plans (ops.window.plan_to_tokens), or a flattened canvas (B, Ny*Nx, C)
+    with canvas-space plans; the layers only see bucket tensors either way.
+    All indexing stays within each sample, so a data-parallel mesh shards
+    this with zero collectives.
     """
 
     d_model: int
@@ -175,8 +190,8 @@ class CanvasShiftBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, canvas, plans):
-        """canvas: (B, H, W, C); plans: [shift0_plan, shift1_plan]."""
+    def __call__(self, rows, plans):
+        """rows: (B, M, C); plans: [shift0_plan, shift1_plan]."""
         num_shifts = len(plans)
         for i in range(2):
             plan = plans[i % num_shifts]
@@ -185,14 +200,14 @@ class CanvasShiftBlock(nn.Module):
                 activation=self.activation, cosine=self.cosine,
                 tau_min=self.tau_min, dtype=self.dtype, name=f"encoder_{i}",
             )
-            buckets = window_ops.gather_buckets(canvas, plan)
+            buckets = window_ops.gather_bucket_rows(rows, plan)
             out_buckets = []
             for feats, yx, valid in zip(buckets, plan.tok_yx, plan.tok_valid):
                 pos = window_ops.sinusoidal_pos_embed(
                     yx, self.window, self.d_model,
                     pos_temperature=self.pos_temperature,
                     normalize_pos=self.normalize_pos, dtype=jnp.float32,
-                ).astype(canvas.dtype)
+                ).astype(rows.dtype)
                 out_buckets.append(layer(feats, pos, valid))
-            canvas = window_ops.scatter_buckets(canvas, plan, out_buckets)
-        return canvas
+            rows = window_ops.scatter_bucket_rows(rows, plan, out_buckets)
+        return rows

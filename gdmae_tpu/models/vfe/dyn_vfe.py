@@ -56,11 +56,11 @@ class DynVFE(nn.Module):
         res = pillarize(points[..., :3], point_mask)
 
         # reorder points by pillar ONCE: every segment reduction then runs
-        # with sorted indices (XLA lowers sorted-segment reductions without
-        # the scatter path — much faster on TPU)
+        # with sorted indices (scan-based sorted-segment path — no scatters).
+        # res.point_pillar is already in sorted order (see PillarizeResult).
         order = res.point_order  # (B, N) permutation grouping by pillar
         points = jnp.take_along_axis(points, order[..., None], axis=1)
-        point_pillar = jnp.take_along_axis(res.point_pillar, order, axis=1)
+        point_pillar = res.point_pillar
         point_mask_s = jnp.take_along_axis(point_mask, order, axis=1)
 
         # flattened segment ids across the batch: b * (M+1) + slot

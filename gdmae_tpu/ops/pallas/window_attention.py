@@ -168,9 +168,13 @@ def fused_window_attention(q, k, v, valid, interpret: bool = False):
 
 
 def reference_window_attention(q, k, v, valid):
-    """Pure-XLA fallback (identical math; used on CPU and as the test oracle)."""
-    logits = jnp.einsum("whtd,whsd->whts", q, k,
+    """Pure-XLA fallback (identical math; used on CPU and as the test oracle).
+
+    q/k/v: (..., H, T, hd); valid: (..., T) — any number of leading window/
+    batch dims (keeping the batch dim explicit keeps data-parallel sharding
+    collective-free)."""
+    logits = jnp.einsum("...htd,...hsd->...hts", q, k,
                         preferred_element_type=jnp.float32)
-    logits = jnp.where(valid[:, None, None, :], logits, -1e9)
+    logits = jnp.where(valid[..., None, None, :], logits, -1e9)
     attn = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("whts,whsd->whtd", attn.astype(v.dtype), v)
+    return jnp.einsum("...hts,...hsd->...htd", attn.astype(v.dtype), v)

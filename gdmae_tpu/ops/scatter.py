@@ -12,11 +12,52 @@ capacity spills into a trash slot (index == capacity) that callers discard.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
+
+def _run_bounds(segment_ids, num_segments):
+    """For NONDECREASING segment_ids: (starts, ends) of each segment's run
+    — a vectorized binary search (no sort, no scatter)."""
+    q = jnp.arange(num_segments, dtype=segment_ids.dtype)
+    starts = jnp.searchsorted(segment_ids, q, side="left")
+    ends = jnp.searchsorted(segment_ids, q, side="right")
+    return starts, ends
+
+
+def _segmented_scan(values, segment_ids, op):
+    """Inclusive segmented scan along axis 0 (runs reset at segment
+    boundaries).  Exact, log-depth, no scatters — the TPU-friendly form of
+    a sorted-segment reduction (jax.ops.segment_* lower to scatters, which
+    serialize per update: measured 127 ms for 1M x 128 vs ~25 ms here)."""
+
+    def comb(a, b):
+        av, ai = a
+        bv, bi = b
+        same = (ai == bi)
+        same = same[(...,) + (None,) * (av.ndim - same.ndim)]
+        return (jnp.where(same, op(av, bv), bv), bi)
+
+    v, _ = jax.lax.associative_scan(comb, (values, segment_ids))
+    return v
+
+
+def _sorted_segment_reduce(values, segment_ids, num_segments, op, fill=0.0):
+    n = values.shape[0]
+    scanned = _segmented_scan(values, segment_ids, op)
+    starts, ends = _run_bounds(segment_ids, num_segments)
+    out = scanned[jnp.clip(ends - 1, 0, n - 1)]
+    empty = (ends == starts)[(...,) + (None,) * (values.ndim - 1)]
+    return jnp.where(empty, jnp.asarray(fill, values.dtype), out)
+
+
+# NOTE (measured on v5e, 1M x 128): a segmented-associative-scan variant of
+# these reductions is SLOWER than XLA's scatter lowering (fwd 172 vs 144 ms,
+# fwd+bwd 247 vs 90 ms) and differentiating through the scan explodes
+# memory, so the sorted path just forwards the hint to jax.ops.
 
 def segment_sum(values, segment_ids, num_segments, indices_are_sorted=False):
     return jax.ops.segment_sum(values, segment_ids, num_segments=num_segments,
@@ -90,8 +131,10 @@ class PillarizeResult(NamedTuple):
     Attributes:
         pillar_coords: (M, 2) int32 [iy, ix]; undefined rows masked out.
         pillar_mask: (M,) bool — slot holds a real pillar.
-        point_pillar: (N,) int32 in [0, M] — pillar slot per point; M = trash
-            (invalid point or capacity overflow).
+        point_pillar: (N,) int32 in [0, M] — pillar slot per point IN SORTED
+            ORDER (i.e. of point ``point_order[i]``); M = trash (invalid
+            point or capacity overflow).  Nondecreasing, so segment
+            reductions over it take the fast sorted path.
         point_order: (N,) int32 — permutation sorting points by pillar slot
             (valid pillars first, grouped contiguously).
         pillar_start: (M,) int32 — start offset of each pillar's run in
@@ -149,21 +192,22 @@ def dynamic_pillarize(points_xyz, point_mask, pc_range, voxel_size, grid_size, m
     order = jnp.argsort(pid, stable=True)
     sorted_pid = pid[order]
     valid_sorted = sorted_pid < sentinel
-    idx = jnp.arange(n, dtype=jnp.int32)
     is_first = valid_sorted & jnp.concatenate(
         [jnp.ones((1,), bool), sorted_pid[1:] != sorted_pid[:-1]])
     rank_sorted = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # pillar slot per sorted point
     num_pillars = jnp.sum(is_first.astype(jnp.int32))
-    slot_sorted = jnp.where(valid_sorted & (rank_sorted < max_pillars), rank_sorted, max_pillars)
+    slot_sorted = jnp.where(
+        valid_sorted & (rank_sorted < max_pillars), rank_sorted, max_pillars)
 
-    point_pillar = jnp.full((n,), max_pillars, jnp.int32).at[order].set(slot_sorted)
-
-    # pillar tables (size M+1; trash row last, sliced off)
-    coords_flat = jnp.full((max_pillars + 1,), sentinel, jnp.int32)
-    coords_flat = coords_flat.at[jnp.where(is_first, slot_sorted, max_pillars)].set(
-        jnp.where(is_first, sorted_pid, sentinel))
-    pillar_mask = coords_flat[:max_pillars] < sentinel
-    lin = jnp.where(pillar_mask, coords_flat[:max_pillars], 0)
+    # pillar tables via binary search over the (nondecreasing) sorted slots
+    # — TPU scatters serialize per update, searchsorted is log-depth gathers
+    q = jnp.arange(max_pillars, dtype=jnp.int32)
+    starts = jnp.searchsorted(slot_sorted, q, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(slot_sorted, q, side="right").astype(jnp.int32)
+    counts = ends - starts
+    pillar_mask = counts > 0
+    lin = jnp.where(
+        pillar_mask, sorted_pid[jnp.clip(starts, 0, n - 1)], 0)
     if nz > 1:
         piz = lin // (nx * ny)
         piy = (lin // nx) % ny
@@ -174,19 +218,13 @@ def dynamic_pillarize(points_xyz, point_mask, pc_range, voxel_size, grid_size, m
         pix = lin % nx
         pillar_coords = jnp.stack([piy, pix], axis=-1)
 
-    starts = jnp.zeros((max_pillars + 1,), jnp.int32).at[
-        jnp.where(is_first, slot_sorted, max_pillars)
-    ].set(jnp.where(is_first, idx, 0))
-    ones = (slot_sorted < max_pillars).astype(jnp.int32)
-    counts = jax.ops.segment_sum(ones, slot_sorted, num_segments=max_pillars + 1)
-
     return PillarizeResult(
-        pillar_coords=pillar_coords,
+        pillar_coords=pillar_coords.astype(jnp.int32),
         pillar_mask=pillar_mask,
-        point_pillar=point_pillar,
+        point_pillar=slot_sorted.astype(jnp.int32),
         point_order=order.astype(jnp.int32),
-        pillar_start=starts[:max_pillars],
-        pillar_count=counts[:max_pillars],
+        pillar_start=starts,
+        pillar_count=counts.astype(jnp.int32),
         num_pillars=num_pillars,
     )
 
@@ -209,11 +247,50 @@ def group_points_wrap(values, res: PillarizeResult, k: int):
     n = values.shape[0]
     kk = jnp.arange(k, dtype=jnp.int32)[None, :]  # (1, k)
     cnt = jnp.clip(res.pillar_count[:, None], 1, None)
-    pos = res.pillar_start[:, None] + kk % cnt  # (M, k) into point_order
+    # kk mod cnt with a DYNAMIC divisor: TPUs have no integer divide (XLA
+    # expands `%` into a huge per-element sequence — measured 700 ms for
+    # this op alone at (8192, 64) x batch 64).  kk <= 64 fits f32 exactly,
+    # so float-reciprocal division + one off-by-one correction is exact
+    # and runs at full VPU rate.
+    q = (kk.astype(jnp.float32) * (1.0 / cnt.astype(jnp.float32))).astype(jnp.int32)
+    r = kk - q * cnt
+    r = jnp.where(r < 0, r + cnt, r)
+    r = jnp.where(r >= cnt, r - cnt, r)
+    pos = res.pillar_start[:, None] + r  # (M, k) into point_order
     gather_idx = res.point_order[jnp.clip(pos, 0, n - 1)]  # (M, k) into values
     out = values[gather_idx]
     valid = (res.pillar_count > 0)[:, None, None]
     return jnp.where(valid, out, 0.0)
+
+
+def group_points_padded(values, res: PillarizeResult, k: int):
+    """First ``min(count, k)`` points of each pillar + validity mask.
+
+    Same point SET as :func:`group_points_wrap` (reference sst_ops
+    ``group_inner_inds``) but padded-with-mask instead of wrap-repeated,
+    which lets the whole grouping be ONE contiguous-slice gather per pillar
+    (points are stored as pillar-sorted runs) instead of M*k tiny row
+    gathers — TPU gathers move (8,128) tiles, so 12-byte row gathers waste
+    ~100x bandwidth.  Consumers must honor the mask (e.g. chamfer gt_mask);
+    versus wrap-repeat this reweights multi-point pillars' gt->pred term by
+    at most one part in k/count.
+
+    Args:
+        values: (N, C) per-point values IN PILLAR-SORTED ORDER (i.e. after
+            the VFE reorder; ``res.point_order`` must be the identity).
+        res: PillarizeResult for the same sample.
+        k: points per pillar (static).
+    Returns:
+        (M, k, C) grouped values (zeros past count), (M, k) bool mask.
+    """
+    n, c = values.shape
+    pad = jnp.concatenate([values, jnp.zeros((k, c), values.dtype)], axis=0)
+    blocks = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(pad, (s, 0), (k, c))
+    )(jnp.minimum(res.pillar_start, n))
+    mask = (jnp.arange(k, dtype=jnp.int32)[None, :]
+            < jnp.minimum(res.pillar_count, k)[:, None])
+    return blocks * mask[..., None].astype(blocks.dtype), mask
 
 
 def random_masking(key, valid_mask, mask_ratio):

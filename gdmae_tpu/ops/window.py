@@ -13,9 +13,14 @@ them into windows with CUDA atomics, and pads each window to a per-drop-level
   * drop-level assignment is a comparison against occupancy counts,
   * bucket slot assignment is one stable sort over the (small) window grid.
 
-Every output is fixed-capacity: level ``l`` owns a ``(W_l, T_l)`` bucket of
-canvas gather indices + validity masks. Windows beyond a bucket's capacity are
-counted in ``overflow`` and simply not attended (their features pass through
+Every output is fixed-capacity and **per-sample**: level ``l`` owns a
+``(B, W_l, T_l)`` bucket of per-sample gather indices + validity masks.
+Keeping the batch dimension explicit (instead of global cross-batch buckets)
+means every gather/scatter is a ``take_along_axis`` *within* a sample, so
+under a data-parallel ``Mesh`` the SPMD partitioner keeps all window work
+device-local — zero collectives in the encoder (global flat indices would
+force all-to-alls).  Windows beyond a bucket's capacity are counted in
+``overflow`` and simply not attended (their features pass through
 unchanged), mirroring the reference's token-drop semantics
 (spt_backbone.py:50 ``keep_mask = inner_win_inds < target_num_per_voxel``).
 """
@@ -51,23 +56,24 @@ def drop_specs_from_cfg(drop_info_cfg) -> Tuple[DropSpec, ...]:
 
 class BucketPlan(NamedTuple):
     """Gather/scatter plan for ONE shift.  Lists below have one entry per
-    drop level; all shapes static.
+    drop level; all shapes static; everything is per-sample.
 
     Attributes:
-        tok_src: [(W_l, T_l) int32] — flattened canvas index (b*Ny*Nx + y*Nx
-            + x) of each bucket token; invalid slots point at the trash row
-            ``B*Ny*Nx``.
-        tok_valid: [(W_l, T_l) bool]
-        tok_yx: [(W_l, T_l, 2) int32] — in-window (y, x) of each token, for
-            the sinusoidal position embedding (reference
+        tok_src: [(B, W_l, T_l) int32] — per-sample flat cell index
+            (``y*Nx + x``; or a row index into a (B, M) token list after
+            :func:`plan_to_tokens`) of each bucket token; invalid slots
+            point at the per-sample trash row (``Ny*Nx`` resp. ``M``).
+        tok_valid: [(B, W_l, T_l) bool]
+        tok_yx: [(B, W_l, T_l, 2) int32] — in-window (y, x) of each token,
+            for the sinusoidal position embedding (reference
             spt_backbone.py:137-182 get_pos_embed).
-        inv_idx: (B*Ny*Nx,) int32 — for each canvas cell, its position in
-            the level-concatenated bucket token list, or ``total_tokens``
-            when not covered.  Built once per plan so the per-layer
-            bucket->canvas writeback is a pure gather (TPU scatters are
-            slow; one int32 scatter here replaces C-wide feature scatters
-            in every encoder layer).
-        overflow: () int32 — windows dropped because a bucket filled up.
+        inv_idx: (B, Ny*Nx) int32 (resp. (B, M)) — for each cell/token,
+            its position in the per-sample level-concatenated bucket token
+            list, or ``total_tokens`` when not covered.  Built once per
+            plan so the per-layer bucket->token writeback is a pure
+            batched gather.
+        overflow: () int32 — windows dropped because a bucket filled up
+            (summed over the batch).
     """
 
     tok_src: Tuple[jnp.ndarray, ...]
@@ -78,19 +84,125 @@ class BucketPlan(NamedTuple):
 
     @property
     def total_tokens(self):
-        return sum(int(s.shape[0] * s.shape[1]) for s in self.tok_src)
+        """Per-sample length of the level-concatenated bucket list."""
+        return sum(int(s.shape[-2] * s.shape[-1]) for s in self.tok_src)
 
 
-def _window_counts_and_compaction(occ_pad, b, nwy, nwx, wy, wx):
-    """occ_pad: (B, nwy*wy, nwx*wx) bool -> per-window counts and in-window
-    compaction order (occupied cells first, raster order preserved)."""
+def _plan_single(occ_flat, grid_hw, window, shift, drop_specs, win_caps):
+    """Plan for ONE sample.  occ_flat: (Ny*Nx,) bool."""
+    ny, nx = grid_hw
+    wy, wx = window
+    sy, sx = shift
+    nwy = -(-(ny + sy) // wy)
+    nwx = -(-(nx + sx) // wx)
+    pad_y = nwy * wy - ny - sy
+    pad_x = nwx * wx - nx - sx
+    occ_pad = jnp.pad(occ_flat.reshape(ny, nx), ((sy, pad_y), (sx, pad_x)))
+
+    g = nwy * nwx
     cells = wy * wx
-    occ_win = occ_pad.reshape(b, nwy, wy, nwx, wx)
-    occ_win = occ_win.transpose(0, 1, 3, 2, 4).reshape(b * nwy * nwx, cells)
+    n_lvl = len(drop_specs)
+
+    occ_win = occ_pad.reshape(nwy, wy, nwx, wx).transpose(0, 2, 1, 3)
+    occ_win = occ_win.reshape(g, cells)
     counts = occ_win.sum(axis=-1).astype(jnp.int32)  # (G,)
-    # stable sort pushes unoccupied cells to the back, keeps raster order
-    comp = jnp.argsort(jnp.logical_not(occ_win), axis=-1, stable=True)
-    return occ_win, counts, comp.astype(jnp.int32)
+    # in-window compaction order (occupied cells first, raster order
+    # preserved == a stable partition).  Computed with cumsum +
+    # searchsorted instead of argsort: slot t < count holds the (t+1)-th
+    # occupied cell, slot t >= count the (t-count+1)-th empty cell.
+    # (XLA TPU sorts are slow; binary search over the 64-cell cumsum is
+    # a handful of vectorized gathers.)
+    c_occ = jnp.cumsum(occ_win.astype(jnp.int32), axis=-1)  # (G, cells)
+    c_emp = jnp.cumsum(jnp.logical_not(occ_win).astype(jnp.int32), axis=-1)
+    t_ids = jnp.arange(cells, dtype=jnp.int32)
+
+    def _comp_row(co, ce, cnt_row):
+        occ_kth = jnp.searchsorted(co, t_ids + 1, side="left")
+        emp_kth = jnp.searchsorted(ce, t_ids - cnt_row + 1, side="left")
+        return jnp.where(t_ids < cnt_row, occ_kth, emp_kth)
+
+    comp = jax.vmap(_comp_row)(c_occ, c_emp, counts).astype(jnp.int32)
+
+    # level per window from pre-drop counts (reference spt_backbone.py:40-45)
+    level = jnp.full((g,), n_lvl, jnp.int32)  # n_lvl = empty / unmatched
+    for li, spec in enumerate(drop_specs):
+        in_range = (counts >= max(spec.lower, 1)) & (counts < spec.upper)
+        level = jnp.where(in_range, li, level)
+
+    # bucket slot assignment WITHOUT sorting/scattering (XLA TPU sorts are
+    # slow; scatters serialize): the slot of window w inside its level's
+    # bucket is its rank among same-level windows, a cumsum; the window at
+    # slot s of level li is found by binary search over that cumsum.
+    csum_l = [jnp.cumsum((level == li).astype(jnp.int32)) for li in range(n_lvl)]
+    n_per_level = [c[-1] for c in csum_l]
+    # rank of each window within its own level (0-based)
+    rank_in_level = jnp.zeros((g,), jnp.int32)
+    for li in range(n_lvl):
+        rank_in_level = jnp.where(level == li, csum_l[li] - 1, rank_in_level)
+
+    tok_src, tok_valid, tok_yx = [], [], []
+    overflow = jnp.zeros((), jnp.int32)
+    trash = ny * nx
+    t_ls, caps_np = [], []
+    for li, spec in enumerate(drop_specs):
+        cap = win_caps[li]
+        t_l = min(spec.max_tokens, cells)
+        t_ls.append(t_l)
+        caps_np.append(cap)
+        slot = jnp.arange(cap, dtype=jnp.int32)
+        w_valid = slot < n_per_level[li]
+        # window id whose rank == slot: first index where csum hits slot+1
+        sel_win = jnp.clip(
+            jnp.searchsorted(csum_l[li], slot + 1, side="left"), 0, g - 1)
+        sel_wy = sel_win // nwx
+        sel_wx = sel_win % nwx
+        sel_cnt = counts[sel_win]
+
+        cell = comp[sel_win][:, :t_l]       # (cap, t_l) in-window cell index
+        iy = cell // wx
+        ix = cell % wx
+        y = sel_wy[:, None] * wy + iy - sy  # true canvas coords
+        x = sel_wx[:, None] * wx + ix - sx
+        t_valid = (
+            w_valid[:, None]
+            & (jnp.arange(t_l, dtype=jnp.int32)[None, :] < sel_cnt[:, None])
+        )
+        flat = y * nx + x
+        flat = jnp.where(t_valid, flat, trash)
+        tok_src.append(flat.astype(jnp.int32))
+        tok_valid.append(t_valid)
+        tok_yx.append(jnp.stack([iy, ix], axis=-1).astype(jnp.int32))
+        overflow = overflow + jnp.maximum(n_per_level[li] - cap, 0)
+
+    # inverse map (cell -> position in the per-sample concat bucket list),
+    # computed ANALYTICALLY per cell instead of scattering every bucket
+    # slot: pos = level_offset + rank_in_level(win) * T_l + rank_in_window.
+    total = sum(int(s.shape[0] * s.shape[1]) for s in tok_src)
+    cy = jnp.arange(ny, dtype=jnp.int32)[:, None] + sy
+    cx = jnp.arange(nx, dtype=jnp.int32)[None, :] + sx
+    win_of_cell = ((cy // wy) * nwx + (cx // wx)).reshape(ny * nx)
+    incell = ((cy % wy) * wx + (cx % wx)).reshape(ny * nx)
+    lvl_c = level[win_of_cell]
+    ril_c = rank_in_level[win_of_cell]
+    # rank among occupied cells of the window (valid only for occupied)
+    rank_in_win = (
+        c_occ.reshape(g * cells)[win_of_cell * cells + incell] - 1)
+    lvl_off = np.concatenate(
+        [[0], np.cumsum([c * t for c, t in zip(caps_np, t_ls)])]).astype(np.int32)
+    off_c = jnp.asarray(lvl_off[:-1])[jnp.clip(lvl_c, 0, n_lvl - 1)]
+    tl_c = jnp.asarray(np.asarray(t_ls, np.int32))[jnp.clip(lvl_c, 0, n_lvl - 1)]
+    cap_c = jnp.asarray(np.asarray(caps_np, np.int32))[jnp.clip(lvl_c, 0, n_lvl - 1)]
+    covered = (
+        occ_flat
+        & (lvl_c < n_lvl)
+        & (ril_c < cap_c)
+        & (rank_in_win < tl_c)
+    )
+    inv = jnp.where(
+        covered, off_c + ril_c * tl_c + rank_in_win, total).astype(jnp.int32)
+
+    return BucketPlan(tuple(tok_src), tuple(tok_valid), tuple(tok_yx),
+                      inv, overflow)
 
 
 @functools.partial(
@@ -105,7 +217,7 @@ def build_bucket_plan(
     drop_specs: Tuple[DropSpec, ...],
     win_caps: Tuple[int, ...],
 ) -> BucketPlan:
-    """Build the bucket gather plan for one shift.
+    """Build the per-sample bucket gather plan for one shift.
 
     Args:
         occupancy: (B, Ny, Nx) bool canvas occupancy.
@@ -115,122 +227,235 @@ def build_bucket_plan(
         shift: (sy, sx) static shift offsets (0 or window//2; reference
             sst_utils.get_window_coors:18-21).
         drop_specs: static DropSpecs per level.
-        win_caps: static per-level window capacities W_l.
+        win_caps: static PER-SAMPLE per-level window capacities W_l.
     """
     ny, nx = grid_hw
-    wy, wx = window
-    sy, sx = shift
     b = occupancy.shape[0]
     assert occupancy.shape[1] == ny and occupancy.shape[2] == nx
-    nwy = -(-(ny + sy) // wy)
-    nwx = -(-(nx + sx) // wx)
-    pad_y = nwy * wy - ny - sy
-    pad_x = nwx * wx - nx - sx
-    occ_pad = jnp.pad(occupancy, ((0, 0), (sy, pad_y), (sx, pad_x)))
+    plan = jax.vmap(
+        lambda o: _plan_single(o, grid_hw, window, shift, drop_specs, win_caps)
+    )(occupancy.reshape(b, ny * nx))
+    return plan._replace(overflow=plan.overflow.sum())
 
-    g = b * nwy * nwx
-    cells = wy * wx
-    n_lvl = len(drop_specs)
 
-    occ_win, counts, comp = _window_counts_and_compaction(occ_pad, b, nwy, nwx, wy, wx)
+def _gather_rows_fwd_impl(rows, tok_src_list):
+    b, m, c = rows.shape
+    pad = jnp.concatenate([rows, jnp.zeros((b, 1, c), rows.dtype)], axis=1)
+    out = []
+    for src in tok_src_list:
+        _, w, t = src.shape
+        picked = jnp.take_along_axis(pad, src.reshape(b, w * t, 1), axis=1)
+        out.append(picked.reshape(b, w, t, c))
+    return out
 
-    # level per window from pre-drop counts (reference spt_backbone.py:40-45)
-    level = jnp.full((g,), n_lvl, jnp.int32)  # n_lvl = empty / unmatched
-    for li, spec in enumerate(drop_specs):
-        in_range = (counts >= max(spec.lower, 1)) & (counts < spec.upper)
-        level = jnp.where(in_range, li, level)
 
-    # bucket slot assignment: one stable sort groups windows by level
-    order = jnp.argsort(level, stable=True)  # (G,) window ids sorted by level
-    sorted_level = level[order]
-    idx = jnp.arange(g, dtype=jnp.int32)
-    # offset of each level's run in the sorted array
-    offsets = jnp.searchsorted(sorted_level, jnp.arange(n_lvl + 1, dtype=jnp.int32))
+def _scatter_rows_impl(rows, bucket_feats, inv_idx, total):
+    b, m, c = rows.shape
+    tokens = jnp.concatenate(
+        [bf.reshape(b, -1, c) for bf in bucket_feats]
+        + [jnp.zeros((b, 1, c), rows.dtype)], axis=1)
+    covered = inv_idx < total  # (B, M)
+    idx = jnp.minimum(inv_idx, total)
+    picked = jnp.take_along_axis(tokens, idx[..., None], axis=1)
+    return jnp.where(covered[..., None], picked, rows)
 
-    # canvas flat index of cell c of window w (padded coords -> true coords)
-    win_ids = order  # window id at each sorted position
-    bb = win_ids // (nwy * nwx)
-    wrem = win_ids % (nwy * nwx)
-    wyi = wrem // nwx
-    wxi = wrem % nwx
 
-    tok_src, tok_valid, tok_yx = [], [], []
-    overflow = jnp.zeros((), jnp.int32)
-    trash = b * ny * nx
-    for li, spec in enumerate(drop_specs):
-        cap = win_caps[li]
-        t_l = min(spec.max_tokens, cells)
-        # the windows of this level occupy sorted positions
-        # [offsets[li], offsets[li+1]); take the first cap of them
-        pos = offsets[li] + jnp.arange(cap, dtype=jnp.int32)
-        w_valid = pos < offsets[li + 1]
-        pos_c = jnp.clip(pos, 0, g - 1)
-        sel_win = win_ids[pos_c]            # (cap,) window ids
-        sel_b = bb[pos_c]
-        sel_wy = wyi[pos_c]
-        sel_wx = wxi[pos_c]
-        sel_cnt = counts[sel_win]
+@jax.custom_vjp
+def _gather_bucket_rows_p(rows, tok_src_list, inv_idx):
+    return _gather_rows_fwd_impl(rows, tok_src_list)
 
-        cell = comp[sel_win][:, :t_l]       # (cap, t_l) in-window cell index
-        iy = cell // wx
-        ix = cell % wx
-        y = sel_wy[:, None] * wy + iy - sy  # true canvas coords
-        x = sel_wx[:, None] * wx + ix - sx
-        t_valid = (
-            w_valid[:, None]
-            & (jnp.arange(t_l, dtype=jnp.int32)[None, :] < sel_cnt[:, None])
-        )
-        flat = sel_b[:, None] * (ny * nx) + y * nx + x
-        flat = jnp.where(t_valid, flat, trash)
-        tok_src.append(flat.astype(jnp.int32))
-        tok_valid.append(t_valid)
-        tok_yx.append(jnp.stack([iy, ix], axis=-1).astype(jnp.int32))
-        overflow = overflow + jnp.maximum(offsets[li + 1] - offsets[li] - cap, 0)
 
-    # inverse map: canvas cell -> position in the concatenated bucket list
-    total = sum(int(s.shape[0] * s.shape[1]) for s in tok_src)
-    inv = jnp.full((b * ny * nx + 1,), total, jnp.int32)
-    off = 0
-    for src, tv in zip(tok_src, tok_valid):
-        size = int(src.shape[0] * src.shape[1])
-        pos = off + jnp.arange(size, dtype=jnp.int32)
-        tgt = jnp.where(tv.reshape(-1), src.reshape(-1), b * ny * nx)
-        inv = inv.at[tgt].set(pos, mode="drop")
-        off += size
-    inv = inv.at[b * ny * nx].set(total)  # trash never counts as covered
+def _gbr_fwd(rows, tok_src_list, inv_idx):
+    out = _gather_rows_fwd_impl(rows, tok_src_list)
+    return out, (tok_src_list, inv_idx, rows.shape)
 
-    return BucketPlan(tuple(tok_src), tuple(tok_valid), tuple(tok_yx),
-                      inv[:-1], overflow)
+
+def _gbr_bwd(res, g):
+    # within one plan every row appears in AT MOST ONE bucket slot, so the
+    # transpose of the bucket gather is itself a gather through inv_idx —
+    # JAX's auto-derived transpose would be a serializing scatter-add
+    tok_src_list, inv_idx, (b, m, c) = res
+    total = sum(int(s.shape[-2] * s.shape[-1]) for s in tok_src_list)
+    grows = _scatter_rows_impl(
+        jnp.zeros((b, m, c), g[0].dtype), g, inv_idx, total)
+    return (grows, [jnp.zeros_like(s) for s in tok_src_list],
+            jnp.zeros_like(inv_idx))
+
+
+_gather_bucket_rows_p.defvjp(_gbr_fwd, _gbr_bwd)
+
+
+@jax.custom_vjp
+def _scatter_bucket_rows_p(rows, bucket_feats, tok_src_list, inv_idx, total):
+    return _scatter_rows_impl(rows, bucket_feats, inv_idx, total)
+
+
+def _sbr_fwd(rows, bucket_feats, tok_src_list, inv_idx, total):
+    out = _scatter_rows_impl(rows, bucket_feats, inv_idx, total)
+    return out, (tok_src_list, inv_idx, total,
+                 [bf.shape for bf in bucket_feats])
+
+
+def _sbr_bwd(res, g):
+    tok_src_list, inv_idx, total, bucket_shapes = res
+    covered = (inv_idx < total)[..., None]
+    grows = jnp.where(covered, jnp.zeros_like(g), g)
+    # bucket-slot gradient: gather the row gradient back at tok_src
+    # (valid slots point at unique rows; invalid slots hit the zero pad)
+    gbuckets = _gather_rows_fwd_impl(jnp.where(covered, g, 0.0), tok_src_list)
+    return (grows, gbuckets, [jnp.zeros_like(s) for s in tok_src_list],
+            jnp.zeros_like(inv_idx), None)
+
+
+_scatter_bucket_rows_p.defvjp(_sbr_fwd, _sbr_bwd)
+
+
+def gather_bucket_rows(rows: jnp.ndarray, plan: BucketPlan):
+    """Token rows (B, M, C) -> list of (B, W_l, T_l, C) bucket tensors;
+    the plan's ``tok_src`` holds per-sample row indices (trash = M).
+
+    Equivalent of reference ``flat2window_v2`` (sst_utils.py:144-148).
+    Both directions of the VJP are pure gathers (custom_vjp)."""
+    return _gather_bucket_rows_p(rows, list(plan.tok_src), plan.inv_idx)
+
+
+def scatter_bucket_rows(rows: jnp.ndarray, plan: BucketPlan, bucket_feats):
+    """Write bucket tensors back into the row tensor; untouched rows keep
+    their previous features.  Equivalent of reference ``window2flat_v2``
+    (sst_utils.py:151-180).
+
+    Implemented as a pure batched GATHER through the precomputed inverse
+    index (plan.inv_idx) in BOTH directions of the VJP: TPU scatters
+    serialize, gathers ride the full HBM bandwidth."""
+    return _scatter_bucket_rows_p(
+        rows, list(bucket_feats), list(plan.tok_src), plan.inv_idx,
+        plan.total_tokens)
 
 
 def gather_buckets(features: jnp.ndarray, plan: BucketPlan):
-    """Canvas (B, Ny, Nx, C) -> list of (W_l, T_l, C) bucket tensors.
-
-    Equivalent of reference ``flat2window_v2`` (sst_utils.py:144-148)."""
+    """Canvas (B, Ny, Nx, C) -> list of (B, W_l, T_l, C) bucket tensors."""
     b, ny, nx, c = features.shape
-    flat = features.reshape(b * ny * nx, c)
-    flat = jnp.concatenate([flat, jnp.zeros((1, c), flat.dtype)], axis=0)
-    return [flat[src] for src in plan.tok_src]
+    return gather_bucket_rows(features.reshape(b, ny * nx, c), plan)
 
 
 def scatter_buckets(features: jnp.ndarray, plan: BucketPlan, bucket_feats):
-    """Write bucket tensors back onto the canvas; untouched cells keep their
-    previous features.  Equivalent of reference ``window2flat_v2``
-    (sst_utils.py:151-180).
-
-    Implemented as a pure GATHER through the precomputed inverse index
-    (plan.inv_idx): TPU scatters serialize, gathers ride the full HBM
-    bandwidth."""
+    """Canvas-shaped wrapper around :func:`scatter_bucket_rows`."""
     b, ny, nx, c = features.shape
-    flat = features.reshape(b * ny * nx, c)
-    tokens = jnp.concatenate(
-        [bf.reshape(-1, c) for bf in bucket_feats]
-        + [jnp.zeros((1, c), features.dtype)], axis=0)
-    total = plan.total_tokens
-    covered = plan.inv_idx < total
-    picked = tokens[jnp.minimum(plan.inv_idx, total)]
-    out = jnp.where(covered[:, None], picked, flat)
+    out = scatter_bucket_rows(
+        features.reshape(b, ny * nx, c), plan, bucket_feats)
     return out.reshape(b, ny, nx, c)
+
+
+def compact_occupancy(occ: jnp.ndarray, cap: int):
+    """(B, Ny, Nx) bool -> per-sample compact cell list.
+
+    Returns ``coords (B, cap, 2) int32`` (iy, ix; raster order) and
+    ``mask (B, cap) bool``.  Active cells beyond ``cap`` are dropped (the
+    canvas keeps their features; they simply don't get tokens).
+    """
+    b, ny, nx = occ.shape
+    flat = occ.reshape(b, ny * nx)
+
+    def one(f):
+        (idx,) = jnp.nonzero(f, size=cap, fill_value=ny * nx)
+        valid = idx < ny * nx
+        idx_c = jnp.minimum(idx, ny * nx - 1)
+        return jnp.stack([idx_c // nx, idx_c % nx], -1).astype(jnp.int32), valid
+
+    return jax.vmap(one)(flat)
+
+
+def build_cell2tok(coords: jnp.ndarray, mask: jnp.ndarray, grid_hw,
+                   sorted_cells: bool = True):
+    """(B, M, 2) int32 cell coords + (B, M) mask -> (B, Ny*Nx) int32 mapping
+    each flat canvas cell to its per-sample token row ``m`` (or ``M`` when
+    the cell holds no token).
+
+    With ``sorted_cells`` (the default — every token list in the pipeline
+    is in raster order: pillarization sorts by cell, compact_occupancy and
+    the MAE kept-compaction preserve raster order) the map is a vectorized
+    binary search instead of a (Ny*Nx)-wide int32 scatter; TPU scatters
+    serialize per update (measured 127 ms for the scatter form at KITTI
+    scale, ~5 ms for the searchsorted form)."""
+    b, m, _ = coords.shape
+    ny, nx = grid_hw
+    flat = coords[..., 0] * nx + coords[..., 1]
+    flat = jnp.where(mask, flat, ny * nx).astype(jnp.int32)
+
+    import os
+
+    if sorted_cells and os.environ.get("GDMAE_C2T_SEARCHSORTED"):
+        q = jnp.arange(ny * nx, dtype=jnp.int32)
+
+        def one(fl):
+            pos = jnp.searchsorted(fl, q)  # (Ny*Nx,) in [0, M]
+            pos_c = jnp.minimum(pos, m - 1)
+            match = (fl[pos_c] == q) & (pos < m)
+            return jnp.where(match, pos_c, m).astype(jnp.int32)
+
+        return jax.vmap(one)(flat)
+
+    rows = jnp.arange(m, dtype=jnp.int32)
+
+    def one_scatter(fl):
+        c2t = jnp.full((ny * nx + 1,), m, jnp.int32)
+        # sorted hint lets XLA use the vectorized scatter path; NOT
+        # unique_indices — invalid rows all alias the trash cell Ny*Nx
+        c2t = c2t.at[fl].set(
+            rows, mode="drop", indices_are_sorted=sorted_cells)
+        return c2t[:-1]
+
+    return jax.vmap(one_scatter)(flat)
+
+
+def occupancy_from_coords(coords: jnp.ndarray, mask: jnp.ndarray, grid_hw,
+                          sorted_cells: bool = True):
+    """(B, M, 2) int32 cell coords + (B, M) mask -> (B, Ny, Nx) bool."""
+    b = coords.shape[0]
+    ny, nx = grid_hw
+    m = coords.shape[1]
+    c2t = build_cell2tok(coords, mask, grid_hw, sorted_cells=sorted_cells)
+    return (c2t < m).reshape(b, ny, nx)
+
+
+def token_cell_index(coords: jnp.ndarray, mask: jnp.ndarray, grid_hw):
+    """(B, M, 2) + (B, M) -> (B, M) int32 per-sample flat canvas cell of
+    each token row (``Ny*Nx`` for invalid rows)."""
+    ny, nx = grid_hw
+    flat = coords[..., 0] * nx + coords[..., 1]
+    return jnp.where(mask, flat, ny * nx).astype(jnp.int32)
+
+
+def plan_to_tokens(plan: BucketPlan, cell2tok: jnp.ndarray,
+                   tok_cell: jnp.ndarray, m: int) -> BucketPlan:
+    """Rewrite a canvas-space BucketPlan into token-row space so encoder
+    layers can gather/scatter against a compact (B, M, C) token list
+    instead of the full (B, Ny*Nx, C) canvas (6-40x less HBM traffic per
+    layer; the canvas is only materialized for convolutions).
+
+    Args:
+        plan: canvas-space plan from :func:`build_bucket_plan`.
+        cell2tok: (B, Ny*Nx) from :func:`build_cell2tok`.
+        tok_cell: (B, M) from :func:`token_cell_index`.
+        m: static per-sample token capacity M.
+    """
+    b = cell2tok.shape[0]
+    c2t = jnp.concatenate(
+        [cell2tok, jnp.full((b, 1), m, jnp.int32)], axis=1)
+    new_src, new_valid = [], []
+    for src, tv in zip(plan.tok_src, plan.tok_valid):
+        _, w, t = src.shape
+        s = jnp.take_along_axis(c2t, src.reshape(b, w * t), axis=1)
+        s = s.reshape(b, w, t)
+        v = tv & (s < m)
+        new_src.append(jnp.where(v, s, m).astype(jnp.int32))
+        new_valid.append(v)
+    total = plan.total_tokens
+    inv_pad = jnp.concatenate(
+        [plan.inv_idx, jnp.full((b, 1), total, jnp.int32)], axis=1)
+    inv_tok = jnp.take_along_axis(inv_pad, tok_cell, axis=1)
+    return BucketPlan(tuple(new_src), tuple(new_valid), plan.tok_yx,
+                      inv_tok, plan.overflow)
 
 
 def covered_mask(plan: BucketPlan, b: int, ny: int, nx: int):
@@ -272,20 +497,22 @@ def sinusoidal_pos_embed(tok_yx, window, feat_dim, pos_temperature=1000,
 
 def default_win_caps(grid_hw, window, max_pillars, drop_specs,
                      batch_size: int = 1) -> Tuple[int, ...]:
-    """Heuristic per-level window capacities guaranteeing zero overflow.
+    """Heuristic per-sample per-level window capacities guaranteeing zero
+    overflow.
 
-    Buckets are global across the batch, so capacities scale with
-    ``batch_size``.  Level 0 can have as many windows as fit in the grid;
-    level l>0 windows hold at least ``lower`` tokens so at most
-    ``max_pillars // lower`` exist per sample.  Values are rounded up to a
-    multiple of 8 for TPU-friendly shapes.
+    Level 0 can have as many windows as fit in the grid; level l>0 windows
+    hold at least ``lower`` tokens so at most ``max_pillars // lower`` exist
+    per sample.  Values are rounded up to a multiple of 8 for TPU-friendly
+    shapes.  ``batch_size`` is kept for backward compatibility and ignored
+    (buckets are per-sample).
     """
+    del batch_size
     ny, nx = grid_hw
     wy, wx = window
     nw = (-(-(ny + wy // 2) // wy)) * (-(-(nx + wx // 2) // wx))
     caps = []
     for spec in drop_specs:
         lo = max(spec.lower, 1)
-        cap = min(nw, -(-max_pillars // lo)) * batch_size
+        cap = min(nw, -(-max_pillars // lo))
         caps.append(int(np.ceil(cap / 8) * 8))
     return tuple(caps)

@@ -179,18 +179,55 @@ def chamfer_distance(pred, gt, pred_mask=None, gt_mask=None, weights=None):
     Returns scalar loss (matches pytorch3d default: point_reduction='mean',
     batch_reduction='mean' with weight normalization by sum of weights).
     """
-    d2 = jnp.sum((pred[:, :, None, :] - gt[:, None, :, :]) ** 2, axis=-1)  # (N, P1, P2)
-    big = jnp.asarray(1e9, d2.dtype)
-    if gt_mask is not None:
-        d2_pg = jnp.where(gt_mask[:, None, :], d2, big)
+    import os
+
+    n, p1, _ = pred.shape
+    p2n = gt.shape[1]
+    if os.environ.get("GDMAE_CHAMFER_MATMUL"):
+        # |a-b|^2 = |a|^2+|b|^2-2a.b (MXU matmul), N chunked via lax.map so
+        # the (N, P1, P2) cross matrix never lives in HBM whole.  A/B
+        # candidate: XLA fuses the broadcast form below well enough that
+        # this is not a clear win on v5e.
+        @jax.checkpoint
+        def _minima(args):
+            pr, gtc, pm, gm = args
+            p2 = jnp.sum(pr * pr, axis=-1)
+            g2 = jnp.sum(gtc * gtc, axis=-1)
+            cross = jnp.einsum("npd,nqd->npq", pr, gtc)
+            d2 = jnp.maximum(p2[:, :, None] + g2[:, None, :] - 2.0 * cross, 0.0)
+            big = jnp.asarray(1e9, d2.dtype)
+            return (jnp.where(gm[:, None, :], d2, big).min(axis=2),
+                    jnp.where(pm[:, :, None], d2, big).min(axis=1))
+
+        pm_full = (jnp.ones((n, p1), bool) if pred_mask is None else pred_mask)
+        gm_full = (jnp.ones((n, p2n), bool) if gt_mask is None else gt_mask)
+        chunk = 65536
+        if n > chunk:
+            pad = (-n) % chunk
+
+            def padn(x):
+                return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+            k = (n + pad) // chunk
+            mins = jax.lax.map(
+                _minima,
+                (padn(pred).reshape(k, chunk, p1, 3),
+                 padn(gt).reshape(k, chunk, p2n, 3),
+                 padn(pm_full).reshape(k, chunk, p1),
+                 padn(gm_full).reshape(k, chunk, p2n)))
+            min_pg = mins[0].reshape(-1, p1)[:n]
+            min_gp = mins[1].reshape(-1, p2n)[:n]
+        else:
+            min_pg, min_gp = _minima((pred, gt, pm_full, gm_full))
     else:
-        d2_pg = d2
-    if pred_mask is not None:
-        d2_gp = jnp.where(pred_mask[:, :, None], d2, big)
-    else:
-        d2_gp = d2
-    min_pg = d2_pg.min(axis=2)  # (N, P1) pred -> nearest gt
-    min_gp = d2_gp.min(axis=1)  # (N, P2) gt -> nearest pred
+        d2 = jnp.sum(
+            (pred[:, :, None, :] - gt[:, None, :, :]) ** 2, axis=-1)
+        big = jnp.asarray(1e9, d2.dtype)
+        d2_pg = d2 if gt_mask is None else jnp.where(gt_mask[:, None, :], d2, big)
+        d2_gp = d2 if pred_mask is None else jnp.where(pred_mask[:, :, None], d2, big)
+        min_pg = d2_pg.min(axis=2)
+        min_gp = d2_gp.min(axis=1)
+    d2 = min_pg  # dtype carrier for the reductions below
 
     if pred_mask is not None:
         pm = pred_mask.astype(d2.dtype)

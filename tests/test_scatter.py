@@ -49,8 +49,11 @@ def test_dynamic_pillarize_matches_numpy_unique():
     got_lin = got_coords[:, 0] * grid[0] + got_coords[:, 1]
     np.testing.assert_array_equal(np.sort(got_lin), uniq)
 
-    # point -> pillar mapping consistent
-    pp = np.asarray(res.point_pillar)
+    # point -> pillar mapping consistent (point_pillar is in sorted order;
+    # res.point_order maps sorted position -> original index)
+    pp_sorted = np.asarray(res.point_pillar)
+    pp = np.empty(n, np.int64)
+    pp[np.asarray(res.point_order)] = pp_sorted
     for i in range(n):
         if in_range[i]:
             slot = pp[i]
@@ -83,7 +86,8 @@ def test_group_points_wrap():
     vals = rng.randn(n, 3).astype(np.float32)
     out = np.asarray(scatter.group_points_wrap(jnp.asarray(vals), res, k))
 
-    pp = np.asarray(res.point_pillar)
+    pp = np.empty(n, np.int64)
+    pp[np.asarray(res.point_order)] = np.asarray(res.point_pillar)
     for slot in range(int(res.num_pillars)):
         members = np.where(pp == slot)[0]  # in original order
         expect = vals[members[np.arange(k) % len(members)]]
@@ -129,3 +133,61 @@ def test_segment_mean_max():
             np.testing.assert_allclose(mx[s], sel.max(0), rtol=1e-5)
         else:
             np.testing.assert_allclose(mx[s], 0.0)
+
+
+def test_sorted_segment_ops_match_unsorted_and_grads():
+    rng = np.random.RandomState(7)
+    n, nseg, c = 300, 40, 5
+    seg = np.sort(rng.randint(0, nseg, n)).astype(np.int32)
+    vals = rng.randn(n, c).astype(np.float32)
+    jseg = jnp.asarray(seg)
+
+    for name, sorted_fn, ref_fn in [
+        ("sum",
+         lambda v: scatter.segment_sum(v, jseg, nseg, indices_are_sorted=True),
+         lambda v: scatter.segment_sum(v, jseg, nseg)),
+        ("mean",
+         lambda v: scatter.segment_mean(v, jseg, nseg, indices_are_sorted=True),
+         lambda v: scatter.segment_mean(v, jseg, nseg)),
+        ("max",
+         lambda v: scatter.segment_max(v, jseg, nseg, indices_are_sorted=True),
+         lambda v: scatter.segment_max(v, jseg, nseg)),
+    ]:
+        got = np.asarray(sorted_fn(jnp.asarray(vals)))
+        want = np.asarray(ref_fn(jnp.asarray(vals)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   err_msg=name)
+        # gradient parity (random floats -> no ties)
+        import jax
+        g1 = jax.grad(lambda v: (sorted_fn(v) ** 2).sum())(jnp.asarray(vals))
+        g2 = jax.grad(lambda v: (ref_fn(v) ** 2).sum())(jnp.asarray(vals))
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_group_points_padded_matches_first_k():
+    rng = np.random.RandomState(9)
+    n, cap, k = 120, 64, 8
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = rng.uniform(0, 69, n)
+    pts[:, 1] = rng.uniform(-39, 39, n)
+    pts[:, 2] = rng.uniform(-2.9, 0.9, n)
+    pc_range = np.array([0, -39.68, -3, 69.12, 39.68, 1], np.float32)
+    vsz = np.array([0.32, 0.32, 4], np.float32)
+    res = scatter.dynamic_pillarize(
+        jnp.asarray(pts), jnp.ones(n, bool), pc_range, vsz, (216, 248), cap)
+    # values in SORTED order (as the VFE provides them)
+    vals_sorted = jnp.asarray(pts)[res.point_order]
+    out, mask = scatter.group_points_padded(vals_sorted, res, k)
+    out, mask = np.asarray(out), np.asarray(mask)
+
+    pp = np.empty(n, np.int64)
+    pp[np.asarray(res.point_order)] = np.asarray(res.point_pillar)
+    for slot in range(min(int(res.num_pillars), cap)):
+        members = np.where(pp == slot)[0]  # original order
+        take = min(len(members), k)
+        np.testing.assert_allclose(out[slot, :take], pts[members[:take]],
+                                   rtol=1e-6)
+        assert mask[slot, :take].all()
+        assert not mask[slot, take:].any()
+        np.testing.assert_allclose(out[slot, take:], 0.0)

@@ -44,22 +44,19 @@ def check_plan(occ, win, shift, caps):
 
     assert int(plan.overflow) == 0
     covered = set()
+    b = occ.shape[0]
     for li in range(3):
-        src = np.asarray(plan.tok_src[li])
+        src = np.asarray(plan.tok_src[li])    # (B, W_l, T_l)
         valid = np.asarray(plan.tok_valid[li])
-        yx = np.asarray(plan.tok_yx[li])
         got_windows = []
-        for wi in range(src.shape[0]):
-            toks = src[wi][valid[wi]]
-            if len(toks) == 0:
-                continue
-            cells = [(int(t) % (ny * nx) // nx, int(t) % (ny * nx) % nx) for t in toks]
-            bi = int(toks[0]) // (ny * nx)
-            got_windows.append((bi, sorted(cells)))
-            # in-window coords consistent
-            for t, (iy, ix) in zip(range(valid[wi].sum()), yx[wi][valid[wi]][:, :2]):
-                pass
-            covered.update((bi, c[0], c[1]) for c in cells)
+        for bi in range(b):
+            for wi in range(src.shape[1]):
+                toks = src[bi, wi][valid[bi, wi]]
+                if len(toks) == 0:
+                    continue
+                cells = [(int(t) // nx, int(t) % nx) for t in toks]
+                got_windows.append((bi, sorted(cells)))
+                covered.update((bi, c[0], c[1]) for c in cells)
         expect = [(k[0], m) for k, m in expect_by_level[li]]
         assert sorted(got_windows) == sorted(expect), f"level {li} mismatch"
 
