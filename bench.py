@@ -12,6 +12,7 @@ target from BASELINE.json -> baseline = 600 scans/sec.
 from __future__ import annotations
 
 import json
+import sys
 import time
 from pathlib import Path
 
@@ -53,32 +54,46 @@ def main():
     )
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    batch_size = (batch_override or 64) if on_tpu else 2
-    model = build_network(cfg.MODEL, num_class=3, dataset=meta, dtype=dtype)
 
-    rng = np.random.RandomState(0)
-    n = meta.max_points
-    pts = np.zeros((batch_size, n, 4), np.float32)
-    pts[..., 0] = rng.uniform(0.5, 68.5, (batch_size, n))
-    pts[..., 1] = rng.uniform(-39, 39, (batch_size, n))
-    pts[..., 2] = rng.uniform(-2.5, 0.5, (batch_size, n))
-    pts[..., 3] = rng.uniform(0, 1, (batch_size, n))
-    batch = {
-        "points": jnp.asarray(pts),
-        "point_mask": jnp.ones((batch_size, n), bool),
-    }
+    def try_batch(batch_size):
+        model = build_network(cfg.MODEL, num_class=3, dataset=meta, dtype=dtype)
+        rng = np.random.RandomState(0)
+        n = meta.max_points
+        pts = np.zeros((batch_size, n, 4), np.float32)
+        pts[..., 0] = rng.uniform(0.5, 68.5, (batch_size, n))
+        pts[..., 1] = rng.uniform(-39, 39, (batch_size, n))
+        pts[..., 2] = rng.uniform(-2.5, 0.5, (batch_size, n))
+        pts[..., 3] = rng.uniform(0, 1, (batch_size, n))
+        batch = {
+            "points": jnp.asarray(pts),
+            "point_mask": jnp.ones((batch_size, n), bool),
+        }
+        params, batch_stats = train_lib.init_model(model, batch, seed=0)
+        tx, _ = optimization.build_optimizer(cfg.OPTIMIZATION, 100, 30)
+        state = train_lib.TrainState.create(params, batch_stats, tx)
+        step = train_lib.make_train_step(model)
+        key = jax.random.PRNGKey(0)
+        # warmup / compile; the float() readback guarantees compile+execute
+        # fully finished before timing starts (block_until_ready alone can
+        # return early through remote-device tunnels)
+        state, metrics = step(state, batch, key)
+        float(jnp.sum(metrics["loss"]))
+        return state, step, batch, key
 
-    params, batch_stats = train_lib.init_model(model, batch, seed=0)
-    tx, _ = optimization.build_optimizer(cfg.OPTIMIZATION, 100, 30)
-    state = train_lib.TrainState.create(params, batch_stats, tx)
-    step = train_lib.make_train_step(model)
-
-    key = jax.random.PRNGKey(0)
-    # warmup / compile; the float() readback guarantees compile+execute fully
-    # finished before timing starts (block_until_ready alone can return early
-    # through remote-device tunnels)
-    state, metrics = step(state, batch, key)
-    float(jnp.sum(metrics["loss"]))
+    # the tunneled v5e has 15.75G HBM, part of which may be held by other
+    # tenants: walk batch sizes down until one compiles and runs
+    candidates = ([batch_override] if batch_override
+                  else ([32, 16, 8] if on_tpu else [2]))
+    state = None
+    for batch_size in candidates:
+        try:
+            state, step, batch, key = try_batch(batch_size)
+            break
+        except Exception as e:  # HBM OOM surfaces as JaxRuntimeError INTERNAL
+            if batch_size == candidates[-1]:
+                raise
+            print(f"batch {batch_size} failed ({type(e).__name__}), "
+                  "retrying smaller", file=sys.stderr, flush=True)
 
     # the tunneled TPU is time-shared: a single window can be 10-20x slower
     # under contention, so measure several windows (each iteration chained

@@ -30,7 +30,7 @@ from ...ops import window as window_ops
 from ...utils import common_utils
 from ..model_utils.blocks import (
     ConvBNReLU, MaskedBatchNorm, TokenConvBNReLU, dilate_occupancy)
-from ..model_utils.sst_layers import CanvasShiftBlock
+from ..model_utils.sst_layers import CanvasShiftBlock, DenseWindowShiftBlock
 
 
 import functools
@@ -149,6 +149,7 @@ class SSTBlock(nn.Module):
     token_cap_out: int = 0  # token capacity after stride (0 = keep input M)
     sparse_conv: bool = False
     remat: bool = True
+    window_mode: str = "bucket"  # 'bucket' (compact drop-level rows) | 'dense'
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -156,13 +157,18 @@ class SSTBlock(nn.Module):
                  train: bool = True):
         """tokens (B, M, C); coords (B, M, 2) on the input grid; mask (B, M);
         occ (B, Ny, Nx).  Returns (tokens, coords, mask, occ, canvas_out)
-        on the stage's output grid."""
+        on the stage's output grid.  In ``dense`` window mode the stage is
+        canvas-resident: tokens/coords/mask may be ``None`` when
+        ``canvas_in`` is given, and ``None`` is returned for them."""
         blk = as_easy(self.block_cfg)
         enc = blk.ENCODER
         pre = blk.PREPROCESS
         d_model = int(enc.D_MODEL)
         stride = int(enc.STRIDE)
         ny, nx = self.grid_hw
+        if self.window_mode == "dense":
+            return self._call_dense(
+                blk, tokens, coords, mask, occ, canvas_in, train)
         b, m, _ = tokens.shape
 
         if stride > 1:
@@ -251,6 +257,57 @@ class SSTBlock(nn.Module):
             )(canvas_mid, occ_out=occ, train=train)
             tokens = gather_canvas_at(canvas_out, coords, (ny, nx), mask=mask)
         return tokens, coords, mask, occ, canvas_out
+
+    def _call_dense(self, blk, tokens, coords, mask, occ, canvas_in, train):
+        """Canvas-resident stage (``TPU_WINDOW_MODE: dense``): masked dense
+        convs + full-window attention; no token lists, no bucket plans."""
+        enc = blk.ENCODER
+        pre = blk.PREPROCESS
+        d_model = int(enc.D_MODEL)
+        stride = int(enc.STRIDE)
+        ny, nx = self.grid_hw
+
+        if canvas_in is None:
+            canvas_in, _ = scatter_pillars_to_canvas(
+                tokens, coords, mask, (ny, nx))
+        if stride > 1:
+            occ = dilate_occupancy(occ, kernel=3, stride=stride)
+            canvas = ConvBNReLU(
+                d_model, kernel=3, stride=stride, dtype=self.dtype,
+                name="conv_down",
+            )(canvas_in, occ_out=occ, train=train)
+            ny, nx = occ.shape[1], occ.shape[2]
+        elif canvas_in.shape[-1] != d_model:
+            canvas = ConvBNReLU(
+                d_model, kernel=3, dtype=self.dtype, name="conv_down",
+            )(canvas_in, occ_out=occ, train=train)
+        else:
+            canvas = canvas_in
+
+        window = (int(pre.WINDOW_SHAPE[1]), int(pre.WINDOW_SHAPE[0]))
+        shift_block_cls = nn.remat(DenseWindowShiftBlock) \
+            if self.remat else DenseWindowShiftBlock
+        x = canvas
+        for bi in range(int(enc.NUM_BLOCKS)):
+            x = shift_block_cls(
+                d_model=d_model,
+                nhead=int(enc.NHEAD),
+                dim_feedforward=int(enc.DIM_FEEDFORWARD),
+                window=window,
+                pos_temperature=float(pre.POS_TEMPERATURE),
+                normalize_pos=bool(pre.NORMALIZE_POS),
+                activation=str(enc.ACTIVATION),
+                cosine=bool(enc.get("LAYER_CFG", {}).get("cosine", False)),
+                tau_min=float(enc.get("LAYER_CFG", {}).get("tau_min", 0.01)),
+                dtype=self.dtype,
+                name=f"shift_block_{bi}",
+            )(x, occ)
+        canvas = canvas + x * occ[..., None].astype(canvas.dtype)
+
+        canvas_out = ConvBNReLU(
+            d_model, kernel=3, dtype=self.dtype, name="conv_out",
+        )(canvas, occ_out=occ, train=train)
+        return None, None, None, occ, canvas_out
 
 
 class DeconvFuse(nn.Module):
@@ -356,6 +413,7 @@ class SPTBackbone(nn.Module):
                 token_cap_out=int(tok_caps[i]) if tok_caps is not None else 0,
                 sparse_conv=bool(cfg.get("TPU_SPARSE_CONV", False)),
                 remat=bool(cfg.get("TPU_REMAT", True)),
+                window_mode=str(cfg.get("TPU_WINDOW_MODE", "bucket")),
                 dtype=self.dtype, name=f"sst_block_{i}",
             )(tokens, coords, mask, occ, canvas_in=canvas, train=train)
             stride *= int(blk.ENCODER.STRIDE)

@@ -199,12 +199,16 @@ def dynamic_pillarize(points_xyz, point_mask, pc_range, voxel_size, grid_size, m
     slot_sorted = jnp.where(
         valid_sorted & (rank_sorted < max_pillars), rank_sorted, max_pillars)
 
-    # pillar tables via binary search over the (nondecreasing) sorted slots
-    # — TPU scatters serialize per update, searchsorted is log-depth gathers
-    q = jnp.arange(max_pillars, dtype=jnp.int32)
-    starts = jnp.searchsorted(slot_sorted, q, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(slot_sorted, q, side="right").astype(jnp.int32)
-    counts = ends - starts
+    # pillar tables via histogram + cumsum over the (nondecreasing) sorted
+    # slots: starts[q] = #elements < q = exclusive cumsum of per-slot counts
+    # (searchsorted lowers to a serial while-loop on TPU — measured ~140 ms
+    # /step at KITTI scale for the binary-search form vs ~3 ms here)
+    counts_all = jnp.zeros((max_pillars + 1,), jnp.int32).at[slot_sorted].add(
+        1, indices_are_sorted=True)
+    csum = jnp.cumsum(counts_all)
+    counts = counts_all[:max_pillars]
+    starts = (csum - counts_all)[:max_pillars].astype(jnp.int32)
+    ends = (starts + counts).astype(jnp.int32)
     pillar_mask = counts > 0
     lin = jnp.where(
         pillar_mask, sorted_pid[jnp.clip(starts, 0, n - 1)], 0)

@@ -106,22 +106,20 @@ def _plan_single(occ_flat, grid_hw, window, shift, drop_specs, win_caps):
     occ_win = occ_pad.reshape(nwy, wy, nwx, wx).transpose(0, 2, 1, 3)
     occ_win = occ_win.reshape(g, cells)
     counts = occ_win.sum(axis=-1).astype(jnp.int32)  # (G,)
-    # in-window compaction order (occupied cells first, raster order
-    # preserved == a stable partition).  Computed with cumsum +
-    # searchsorted instead of argsort: slot t < count holds the (t+1)-th
-    # occupied cell, slot t >= count the (t-count+1)-th empty cell.
-    # (XLA TPU sorts are slow; binary search over the 64-cell cumsum is
-    # a handful of vectorized gathers.)
     c_occ = jnp.cumsum(occ_win.astype(jnp.int32), axis=-1)  # (G, cells)
-    c_emp = jnp.cumsum(jnp.logical_not(occ_win).astype(jnp.int32), axis=-1)
+    # in-window compaction order (occupied cells first, raster order
+    # preserved == a stable partition): ONE single-key sort over the
+    # window's <=64 cells, key = (empty? 1 : 0) << bits | cell_index.
+    # (XLA lowers searchsorted to a serial while-loop on TPU — measured
+    # ~260 ms/step at KITTI scale for the binary-search form vs ~1 ms
+    # for this small sort.)
+    shift_bits = max(int(np.ceil(np.log2(max(cells, 2)))), 1)
     t_ids = jnp.arange(cells, dtype=jnp.int32)
-
-    def _comp_row(co, ce, cnt_row):
-        occ_kth = jnp.searchsorted(co, t_ids + 1, side="left")
-        emp_kth = jnp.searchsorted(ce, t_ids - cnt_row + 1, side="left")
-        return jnp.where(t_ids < cnt_row, occ_kth, emp_kth)
-
-    comp = jax.vmap(_comp_row)(c_occ, c_emp, counts).astype(jnp.int32)
+    key = (
+        (jnp.logical_not(occ_win).astype(jnp.int32) << shift_bits)
+        | t_ids[None, :]
+    )
+    comp = (jnp.sort(key, axis=-1) & ((1 << shift_bits) - 1)).astype(jnp.int32)
 
     # level per window from pre-drop counts (reference spt_backbone.py:40-45)
     level = jnp.full((g,), n_lvl, jnp.int32)  # n_lvl = empty / unmatched

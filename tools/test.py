@@ -31,6 +31,17 @@ def parse_config():
     parser.add_argument("--extra_tag", type=str, default="default")
     parser.add_argument("--ckpt", type=str, default=None)
     parser.add_argument("--save_to_file", action="store_true")
+    parser.add_argument("--eval_all", action="store_true",
+                        help="poll the ckpt dir and evaluate every new "
+                             "checkpoint (reference test.py repeat_eval_ckpt)")
+    parser.add_argument("--ckpt_dir", type=str, default=None,
+                        help="checkpoint dir for --eval_all")
+    parser.add_argument("--eval_tag", type=str, default="default")
+    parser.add_argument("--start_epoch", type=int, default=0)
+    parser.add_argument("--max_waiting_mins", type=int, default=30)
+    parser.add_argument("--fuse_conv_bn", action="store_true",
+                        help="fold BatchNorm into preceding convs before eval "
+                             "(reference eval_utils.py:40-41)")
     parser.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args()
     cfg_from_yaml_file(args.cfg_file, cfg)
@@ -163,24 +174,80 @@ def main():
                     if isinstance(v, np.ndarray)}
     params, batch_stats = train_lib.init_model(model, device_batch)
 
-    ckpt = args.ckpt or ckpt_lib.latest_checkpoint(output_dir / "ckpt")
-    assert ckpt is not None, "no checkpoint found"
-    with open(ckpt, "rb") as f:
-        payload = pickle.load(f)
     from flax import serialization
-    params = serialization.from_bytes(params, payload["params"])
-    batch_stats = serialization.from_bytes(batch_stats, payload["batch_stats"])
-    logger.info("loaded %s (epoch %s)", ckpt, payload.get("epoch"))
 
-    det_annos, result_dict = eval_one_epoch(
-        model, {"params": params, "batch_stats": batch_stats}, dataloader,
-        dataset, cfg_.CLASS_NAMES, logger,
-        result_dir=result_dir if args.save_to_file else None)
+    from gdmae_tpu.models.model_utils.fusion_utils import fuse_conv_bn
 
-    with open(result_dir / "result.pkl", "wb") as f:
-        pickle.dump(det_annos, f)
-    for k, v in (result_dict or {}).items():
-        logger.info("%s: %.4f", k, v)
+    def eval_ckpt(ckpt_path, out_dir):
+        with open(ckpt_path, "rb") as f:
+            payload = pickle.load(f)
+        p = serialization.from_bytes(params, payload["params"])
+        bs = serialization.from_bytes(batch_stats, payload["batch_stats"])
+        if args.fuse_conv_bn:
+            p, bs = fuse_conv_bn(p, bs)
+        logger.info("loaded %s (epoch %s)", ckpt_path, payload.get("epoch"))
+        out_dir.mkdir(parents=True, exist_ok=True)
+        det_annos, result_dict = eval_one_epoch(
+            model, {"params": p, "batch_stats": bs}, dataloader,
+            dataset, cfg_.CLASS_NAMES, logger,
+            result_dir=out_dir if args.save_to_file else None)
+        with open(out_dir / "result.pkl", "wb") as f:
+            pickle.dump(det_annos, f)
+        for k, v in (result_dict or {}).items():
+            logger.info("%s: %.4f", k, v)
+        return result_dict
+
+    if not args.eval_all:
+        ckpt = args.ckpt or ckpt_lib.latest_checkpoint(output_dir / "ckpt")
+        assert ckpt is not None, "no checkpoint found"
+        eval_ckpt(ckpt, result_dir)
+        return
+
+    # repeat_eval_ckpt (reference test.py:87-131): poll the ckpt dir, evaluate
+    # each new checkpoint once, give up after max_waiting_mins of no progress.
+    ckpt_dir = Path(args.ckpt_dir) if args.ckpt_dir else output_dir / "ckpt"
+    record_file = result_dir / "eval_list_val.txt"
+    evaluated = set()
+    if record_file.exists():
+        evaluated = set(record_file.read_text().split())
+    try:
+        from gdmae_tpu.runtime.summary import SummaryWriter
+        tb = SummaryWriter(result_dir / "tensorboard_val")
+    except Exception:
+        tb = None
+    wait_s = 0.0
+    while True:
+        cand = sorted(ckpt_dir.glob("checkpoint_epoch_*.pkl"),
+                      key=lambda p: p.stat().st_mtime)
+        todo = None
+        for c in cand:
+            epoch = c.stem.split("_")[-1]
+            if epoch.isdigit() and int(epoch) < args.start_epoch:
+                continue
+            if str(c) not in evaluated:
+                todo = (c, epoch)
+                break
+        if todo is None:
+            if wait_s / 60 >= args.max_waiting_mins:
+                logger.info("no new checkpoint for %d min, exiting",
+                            args.max_waiting_mins)
+                break
+            time.sleep(30)
+            wait_s += 30
+            continue
+        wait_s = 0.0
+        c, epoch = todo
+        result_dict = eval_ckpt(c, result_dir / f"epoch_{epoch}" / args.eval_tag)
+        evaluated.add(str(c))
+        with open(record_file, "a") as f:
+            f.write(str(c) + "\n")
+        if tb is not None and result_dict:
+            for k, v in result_dict.items():
+                try:
+                    tb.add_scalar(f"eval/{k}", float(v), int(epoch))
+                except (TypeError, ValueError):
+                    pass
+        logger.info("epoch %s evaluated", epoch)
 
 
 if __name__ == "__main__":
