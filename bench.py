@@ -40,8 +40,6 @@ def main():
     cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS = [
         [160, 64, 32], [96, 48, 24], [64, 32, 16]]
     import os
-    if os.environ.get("GDMAE_NO_REMAT"):
-        cfg.MODEL.BACKBONE_3D.TPU_REMAT = False
     batch_override = int(os.environ.get("GDMAE_BENCH_BATCH", 0))
     meta = DatasetMeta(
         class_names=cfg.CLASS_NAMES,
@@ -55,7 +53,8 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    def try_batch(batch_size):
+    def try_batch(batch_size, remat):
+        cfg.MODEL.BACKBONE_3D.TPU_REMAT = remat
         model = build_network(cfg.MODEL, num_class=3, dataset=meta, dtype=dtype)
         rng = np.random.RandomState(0)
         n = meta.max_points
@@ -81,19 +80,25 @@ def main():
         return state, step, batch, key
 
     # the tunneled v5e has 15.75G HBM, part of which may be held by other
-    # tenants: walk batch sizes down until one compiles and runs
-    candidates = ([batch_override] if batch_override
-                  else ([32, 16, 8] if on_tpu else [2]))
+    # tenants: prefer no-remat (measured ~1.3x faster at batch 32), walk
+    # down through remat and smaller batches until one compiles and runs
+    env_remat = os.environ.get("GDMAE_BENCH_REMAT")
+    if batch_override:
+        candidates = [(batch_override, bool(int(env_remat or "0")))]
+    elif on_tpu:
+        candidates = [(32, False), (32, True), (16, False), (8, False)]
+    else:
+        candidates = [(2, False)]
     state = None
-    for batch_size in candidates:
+    for batch_size, remat in candidates:
         try:
-            state, step, batch, key = try_batch(batch_size)
+            state, step, batch, key = try_batch(batch_size, remat)
             break
         except Exception as e:  # HBM OOM surfaces as JaxRuntimeError INTERNAL
-            if batch_size == candidates[-1]:
+            if (batch_size, remat) == candidates[-1]:
                 raise
-            print(f"batch {batch_size} failed ({type(e).__name__}), "
-                  "retrying smaller", file=sys.stderr, flush=True)
+            print(f"batch {batch_size} remat={remat} failed "
+                  f"({type(e).__name__}), retrying", file=sys.stderr, flush=True)
 
     # the tunneled TPU is time-shared: a single window can be 10-20x slower
     # under contention, so measure several windows (each iteration chained

@@ -96,17 +96,30 @@ class BaseBEVBackbone(nn.Module):
             if i < len(up_strides):
                 us = up_strides[i]
                 if us >= 1:
-                    y = nn.ConvTranspose(up_filters[i], (us, us), strides=(us, us),
-                                         use_bias=False, dtype=self.dtype,
-                                         name=f"deblock_{i}")(x)
+                    # ConvTranspose(kernel=stride=s) == 1x1 conv to s^2*nf
+                    # channels + depth-to-space: same function space, but
+                    # the matmul/BN/ReLU run at low resolution and XLA's
+                    # transposed-conv lowering is avoided (see DeconvFuse)
+                    b, h, w, _ = x.shape
+                    nf = up_filters[i]
+                    y = nn.Conv(us * us * nf, (1, 1), use_bias=False,
+                                dtype=self.dtype, name=f"deblock_{i}")(x)
+                    y = y.reshape(b, h, w, us * us, nf)
+                    y = MaskedBatchNorm(dtype=self.dtype, name=f"deblock_bn_{i}")(
+                        y, use_running_average=not train)
+                    y = nn.relu(y)
+                    y = y.reshape(b, h, w, us, us, nf)
+                    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+                        b, h * us, w * us, nf)
                 else:
                     ds = int(round(1 / us))
                     y = nn.Conv(up_filters[i], (ds, ds), strides=(ds, ds),
                                 use_bias=False, dtype=self.dtype,
                                 name=f"deblock_{i}")(x)
-                y = MaskedBatchNorm(dtype=self.dtype, name=f"deblock_bn_{i}")(
-                    y, use_running_average=not train)
-                ups.append(nn.relu(y))
+                    y = MaskedBatchNorm(dtype=self.dtype, name=f"deblock_bn_{i}")(
+                        y, use_running_average=not train)
+                    y = nn.relu(y)
+                ups.append(y)
         if len(ups) > 1:
             x = jnp.concatenate(ups, axis=-1)
         elif len(ups) == 1:

@@ -150,6 +150,9 @@ class SSTBlock(nn.Module):
     sparse_conv: bool = False
     remat: bool = True
     window_mode: str = "bucket"  # 'bucket' (compact drop-level rows) | 'dense'
+    # profiling-only ablations (TPU_ABLATE): 'attn' keeps the bucket plans
+    # but skips the transformer math; 'plans' skips plan building too
+    ablate: Tuple[str, ...] = ()
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -203,44 +206,73 @@ class SSTBlock(nn.Module):
         )
         c2t = window_ops.build_cell2tok(coords, mask, (ny, nx))
         tcell = window_ops.token_cell_index(coords, mask, (ny, nx))
-        plans = [
-            window_ops.plan_to_tokens(
-                window_ops.build_bucket_plan(
-                    occ, (ny, nx), window, shift, drop_specs, self.win_caps),
-                c2t, tcell, m)
-            for shift in ((0, 0), (window[0] // 2, window[1] // 2))
-        ]
-        # tokens covered by both shifts participate in the encoder; others
-        # (bucket overflow only) keep their input features, mirroring the
-        # reference's token-drop residual (spt_backbone.py:260-262)
-        participate = None
-        for plan in plans:
-            cover = plan.inv_idx < plan.total_tokens  # (B, M)
-            participate = cover if participate is None else (participate & cover)
-        participate = participate & mask
+        if "plans" in self.ablate:
+            plans = None
+            participate = mask
+        else:
+            plans = [
+                window_ops.plan_to_tokens(
+                    window_ops.build_bucket_plan(
+                        occ, (ny, nx), window, shift, drop_specs, self.win_caps),
+                    c2t, tcell, m)
+                for shift in ((0, 0), (window[0] // 2, window[1] // 2))
+            ]
+            # tokens covered by both shifts participate in the encoder;
+            # others (bucket overflow only) keep their input features,
+            # mirroring the reference's token-drop residual
+            # (spt_backbone.py:260-262)
+            participate = None
+            for plan in plans:
+                cover = plan.inv_idx < plan.total_tokens  # (B, M)
+                participate = cover if participate is None else (participate & cover)
+            participate = participate & mask
 
-        rows = tokens
-        # remat trades ~1 extra forward in the backward pass for O(layers)
-        # token activations of HBM; disable via TPU_REMAT: false when the
-        # batch fits (faster steps)
-        shift_block_cls = nn.remat(CanvasShiftBlock, static_argnums=()) \
-            if self.remat else CanvasShiftBlock
-        for bi in range(int(enc.NUM_BLOCKS)):
-            rows = shift_block_cls(
-                d_model=d_model,
-                nhead=int(enc.NHEAD),
-                dim_feedforward=int(enc.DIM_FEEDFORWARD),
-                window=window,
-                pos_temperature=float(pre.POS_TEMPERATURE),
-                normalize_pos=bool(pre.NORMALIZE_POS),
-                activation=str(enc.ACTIVATION),
-                cosine=bool(enc.get("LAYER_CFG", {}).get("cosine", False)),
-                tau_min=float(enc.get("LAYER_CFG", {}).get("tau_min", 0.01)),
-                dtype=self.dtype,
-                name=f"shift_block_{bi}",
-            )(rows, plans)
-        upd = participate[..., None].astype(tokens.dtype)
-        tokens = tokens + rows * upd
+        if plans is not None and "attn" in self.ablate:
+            # keep the full plan construction alive (defeat DCE) but skip
+            # the transformer math: profiling-only path
+            dep = jnp.zeros((), self.dtype)
+            for plan in plans:
+                dep = dep + plan.inv_idx.sum().astype(self.dtype) * 1e-30
+                for s, yx in zip(plan.tok_src, plan.tok_yx):
+                    dep = dep + (s.sum() + yx.sum()).astype(self.dtype) * 1e-30
+            tokens = tokens + dep
+        elif plans is not None:
+            rows = tokens
+            # position embeds depend only on the plan: build the packed
+            # (B, S, C) embeds ONCE per stage instead of once per encoder
+            # layer (2 layers x NUM_BLOCKS share them)
+            pos_flats = None
+            if all(window_ops.plan_block_ts(p) is not None for p in plans):
+                pos_flats = [
+                    window_ops.sinusoidal_pos_embed(
+                        window_ops.plan_yx_flat(p), window, d_model,
+                        pos_temperature=float(pre.POS_TEMPERATURE),
+                        normalize_pos=bool(pre.NORMALIZE_POS),
+                        dtype=jnp.float32,
+                    ).astype(self.dtype)
+                    for p in plans
+                ]
+            # remat trades ~1 extra forward in the backward pass for
+            # O(layers) token activations of HBM; disable via TPU_REMAT:
+            # false when the batch fits (faster steps)
+            shift_block_cls = nn.remat(CanvasShiftBlock, static_argnums=()) \
+                if self.remat else CanvasShiftBlock
+            for bi in range(int(enc.NUM_BLOCKS)):
+                rows = shift_block_cls(
+                    d_model=d_model,
+                    nhead=int(enc.NHEAD),
+                    dim_feedforward=int(enc.DIM_FEEDFORWARD),
+                    window=window,
+                    pos_temperature=float(pre.POS_TEMPERATURE),
+                    normalize_pos=bool(pre.NORMALIZE_POS),
+                    activation=str(enc.ACTIVATION),
+                    cosine=bool(enc.get("LAYER_CFG", {}).get("cosine", False)),
+                    tau_min=float(enc.get("LAYER_CFG", {}).get("tau_min", 0.01)),
+                    dtype=self.dtype,
+                    name=f"shift_block_{bi}",
+                )(rows, plans, pos_flats)
+            upd = participate[..., None].astype(tokens.dtype)
+            tokens = tokens + rows * upd
 
         if self.sparse_conv:
             tokens = TokenConvBNReLU(
@@ -313,7 +345,15 @@ class SSTBlock(nn.Module):
 class DeconvFuse(nn.Module):
     """FPN-style deconv fusion of the pyramid to a stride-1 dense map
     (reference SPTBackbone deblocks + conv_out, spt_backbone.py:283-303).
-    Dense (unmasked) convs/BN, exactly like the reference's dense path."""
+    Dense (unmasked) convs/BN, exactly like the reference's dense path.
+
+    The reference's ``ConvTranspose2d(kernel=stride=s)`` touches each output
+    cell exactly once, so it is computed here as a 1x1 conv to ``s*s*nf``
+    channels followed by depth-to-space — the same function space (weight
+    relayout only), but the matmul, BN statistics, and ReLU all run at the
+    LOW resolution (s^2 fewer rows), and XLA's transposed-conv lowering
+    (padding + scatter) is avoided entirely.  Measured ~100 ms of a 433 ms
+    MAE step for the ConvTranspose form at KITTI batch 16 on v5e."""
 
     fuse_cfg: Any  # model_cfg.FUSE_LAYER
     sources: Sequence[str]  # model_cfg.FEATURES_SOURCE
@@ -329,14 +369,23 @@ class DeconvFuse(nn.Module):
             stride = int(cfg.UPSAMPLE_STRIDE)
             nf = int(cfg.NUM_UPSAMPLE_FILTER)
             x = feature_maps[src]
-            x = nn.ConvTranspose(
-                nf, (stride, stride), strides=(stride, stride), use_bias=False,
+            b, h, w, _ = x.shape
+            x = nn.Conv(
+                stride * stride * nf, (1, 1), use_bias=False,
                 dtype=self.dtype, name=f"deblock_{i}",
             )(x)
+            # BN per upsampled channel == BN over (batch, h, w, s^2) of the
+            # (s^2, nf)-grouped low-res channels: same element set, so the
+            # statistics are exactly those of the full-res deconv output
+            x = x.reshape(b, h, w, stride * stride, nf)
             x = MaskedBatchNorm(dtype=self.dtype, name=f"deblock_bn_{i}")(
                 x, use_running_average=not train
             )
-            ups.append(nn.relu(x))
+            x = nn.relu(x)
+            x = x.reshape(b, h, w, stride, stride, nf)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, h * stride, w * stride, nf)
+            ups.append(x)
             total += nf
         out_ch = total // len(ups)
         x = jnp.concatenate(ups, axis=-1)
@@ -414,6 +463,7 @@ class SPTBackbone(nn.Module):
                 sparse_conv=bool(cfg.get("TPU_SPARSE_CONV", False)),
                 remat=bool(cfg.get("TPU_REMAT", True)),
                 window_mode=str(cfg.get("TPU_WINDOW_MODE", "bucket")),
+                ablate=tuple(cfg.get("TPU_ABLATE", ())),
                 dtype=self.dtype, name=f"sst_block_{i}",
             )(tokens, coords, mask, occ, canvas_in=canvas, train=train)
             stride *= int(blk.ENCODER.STRIDE)
@@ -421,11 +471,16 @@ class SPTBackbone(nn.Module):
             occs[f"x_conv{i+1}"] = occ
             strides[f"x_conv{i+1}"] = stride
 
-        spatial_features = DeconvFuse(
+        # the fuse works at full canvas resolution (its conv_out input alone
+        # is (B, Ny, Nx, 384) — 1.2G at batch 32 bf16): always recompute it
+        # in the backward pass; one extra fuse forward is a few ms
+        fuse_cls = (nn.remat(DeconvFuse, static_argnums=(2,))
+                    if bool(cfg.get("TPU_REMAT_FUSE", True)) else DeconvFuse)
+        spatial_features = fuse_cls(
             fuse_cfg=cfg.FUSE_LAYER,
             sources=cfg.FEATURES_SOURCE,
             dtype=self.dtype, name="fuse",
-        )(feature_maps, train=train)
+        )(feature_maps, train)
 
         batch_dict["multi_scale_2d_features"] = feature_maps
         batch_dict["multi_scale_2d_occupancy"] = occs

@@ -43,7 +43,11 @@ class CosineMultiheadAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, qk: jnp.ndarray, v: jnp.ndarray, valid: jnp.ndarray):
+    def __call__(self, qk: jnp.ndarray, v: jnp.ndarray, valid: jnp.ndarray,
+                 attn_bias: Optional[jnp.ndarray] = None):
+        """qk/v: (..., T, C); valid: (..., T).  ``attn_bias`` (lead[-1], T, T)
+        carries the packed-block sub-window structure (see
+        ops.window.packed_block_bias) and routes to the biased kernel."""
         *lead, t, c = qk.shape
         h = self.nhead
         hd = c // h
@@ -76,7 +80,16 @@ class CosineMultiheadAttention(nn.Module):
         import os
 
         from ...ops.pallas.window_attention import (
+            biased_window_attention, blocked_window_attention,
             fused_window_attention, reference_window_attention)
+
+        if attn_bias is not None:
+            out = jax.checkpoint(biased_window_attention)(
+                q, k, vv, valid, attn_bias)
+            out = out.astype(self.dtype)
+            out = jnp.moveaxis(out, -3, -2).reshape(*lead, t, c)
+            out = nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+            return out * valid[..., None].astype(out.dtype)
 
         # measured on v5e: XLA's batched einsum beats the per-window Pallas
         # kernel at these T/D sizes (grid-step overhead dominates); the
@@ -89,8 +102,18 @@ class CosineMultiheadAttention(nn.Module):
                 q.reshape(wtot, h, t, hd), k.reshape(wtot, h, t, hd),
                 vv.reshape(wtot, h, t, hd), valid.reshape(wtot, t))
             out = out.reshape(*lead, h, t, hd)
+        elif len(lead) == 2 and t < 128 and \
+                not os.environ.get("GDMAE_NO_BLOCKED_ATTN"):
+            # block-diagonal packing fills full (8, 128) HBM tiles (2-8x
+            # less logits traffic than per-window (T, T)); checkpoint makes
+            # it flash-style in memory (probs recomputed in the bwd pass)
+            out = jax.checkpoint(blocked_window_attention)(q, k, vv, valid)
         else:
-            out = reference_window_attention(q, k, vv, valid)
+            # flash-style memory behavior for the einsum path: recompute
+            # logits+softmax in the backward pass instead of storing the
+            # f32 (..., H, T, T) probabilities (they pad 2-4x in HBM tiles
+            # and were the last obstacle to batch-32 no-remat on 16G chips)
+            out = jax.checkpoint(reference_window_attention)(q, k, vv, valid)
         out = out.astype(self.dtype)
         out = jnp.moveaxis(out, -3, -2).reshape(*lead, t, c)
         out = nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
@@ -154,9 +177,9 @@ class BucketEncoderLayer(nn.Module):
             return nn.relu(x)
         raise NotImplementedError(self.activation)
 
-    def __call__(self, feats, pos, valid):
+    def __call__(self, feats, pos, valid, attn_bias=None):
         """feats/pos: (..., T, C); valid: (..., T)."""
-        src2 = self.win_attn(feats + pos, feats, valid)
+        src2 = self.win_attn(feats + pos, feats, valid, attn_bias=attn_bias)
         src = self.norm1(feats, src2)
         src2 = self.linear2(self._act(self.linear1(src)))
         src = self.norm2(src, src2)
@@ -263,8 +286,11 @@ class CanvasShiftBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, rows, plans):
-        """rows: (B, M, C); plans: [shift0_plan, shift1_plan]."""
+    def __call__(self, rows, plans, pos_flats=None):
+        """rows: (B, M, C); plans: [shift0_plan, shift1_plan];
+        ``pos_flats`` — optional per-plan packed (B, S, C) position embeds
+        (hoisted by the caller so they are built once per stage, not once
+        per encoder layer)."""
         num_shifts = len(plans)
         for i in range(2):
             plan = plans[i % num_shifts]
@@ -273,6 +299,35 @@ class CanvasShiftBlock(nn.Module):
                 activation=self.activation, cosine=self.cosine,
                 tau_min=self.tau_min, dtype=self.dtype, name=f"encoder_{i}",
             )
+            ts = window_ops.plan_block_ts(plan)
+            if ts is not None:
+                # packed path: ONE attention/FFN/LN pass over the level-
+                # concatenated token stream, viewed as 128-token blocks
+                # with a per-block sub-window block-diagonal bias — 3x
+                # fewer kernels than per-level, and logits tile HBM as
+                # full (8, 128) blocks
+                flat = window_ops.gather_bucket_rows_flat(rows, plan)
+                b, s, c = flat.shape
+                nb = s // 128
+                if pos_flats is not None:
+                    pos = pos_flats[i % num_shifts]
+                else:
+                    pos = window_ops.sinusoidal_pos_embed(
+                        window_ops.plan_yx_flat(plan), self.window,
+                        self.d_model, pos_temperature=self.pos_temperature,
+                        normalize_pos=self.normalize_pos, dtype=jnp.float32,
+                    ).astype(rows.dtype)
+                valid = window_ops.plan_valid_flat(plan)
+                bias = window_ops.packed_block_bias(ts)
+                out = layer(
+                    flat.reshape(b, nb, 128, c),
+                    pos.reshape(b, nb, 128, c),
+                    valid.reshape(b, nb, 128),
+                    attn_bias=bias,
+                )
+                rows = window_ops.scatter_bucket_rows_flat(
+                    rows, plan, out.reshape(b, s, c))
+                continue
             buckets = window_ops.gather_bucket_rows(rows, plan)
             out_buckets = []
             for feats, yx, valid in zip(buckets, plan.tok_yx, plan.tok_valid):

@@ -178,3 +178,69 @@ def reference_window_attention(q, k, v, valid):
     logits = jnp.where(valid[..., None, None, :], logits, -1e9)
     attn = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("...hts,...hsd->...htd", attn.astype(v.dtype), v)
+
+
+def biased_window_attention(q, k, v, valid, bias):
+    """Attention over packed 128-token blocks with an additive per-block
+    bias carrying the sub-window block-diagonal structure.
+
+    Args:
+        q, k, v: (B, NB, H, T, D) packed blocks (T = 128).
+        valid: (B, NB, T) key-padding mask.
+        bias: (NB, T, T) f32 additive bias (0 inside each sub-window,
+            -1e9 across sub-windows; :func:`ops.window.packed_block_bias`).
+    Returns:
+        (B, NB, H, T, D).
+    """
+    logits = jnp.einsum("bnhtd,bnhsd->bnhts", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits + bias[None, :, None]
+    logits = jnp.where(valid[:, :, None, None, :], logits, -1e9)
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bnhts,bnhsd->bnhtd", attn.astype(v.dtype), v)
+
+
+def blocked_window_attention(q, k, v, valid):
+    """Same math as :func:`reference_window_attention`, but G = 128//T
+    windows are packed into ONE (G*T, G*T) block-diagonal attention so the
+    logits/probability tensors tile HBM as full (8, 128) blocks.
+
+    With T in {16, 32, 64} the naive (..., T, T) logits pad 8x/4x/2x on the
+    TPU's (8, 128) tiles — attention here is bandwidth-bound, so that
+    padding is the dominant cost.  Off-diagonal window pairs get a -1e9
+    additive bias, making the packed form exactly equivalent.
+
+    Args:
+        q, k, v: (B, W, H, T, D); valid: (B, W, T) bool.
+    Returns:
+        (B, W, H, T, D).
+    """
+    b, w, h, t, d = q.shape
+    g = max(1, 128 // t)
+    wpad = (-w) % g
+    if wpad:
+        padw = ((0, 0), (0, wpad), (0, 0), (0, 0), (0, 0))
+        q = jnp.pad(q, padw)
+        k = jnp.pad(k, padw)
+        v = jnp.pad(v, padw)
+        valid = jnp.pad(valid, ((0, 0), (0, wpad), (0, 0)))
+    wg = (w + wpad) // g
+    s = g * t
+
+    def regroup(x):
+        x = x.reshape(b, wg, g, h, t, d)
+        return jnp.moveaxis(x, 2, 3).reshape(b, wg, h, s, d)
+
+    qg, kg, vg = regroup(q), regroup(k), regroup(v)
+    vmask = valid.reshape(b, wg, s)
+    blk = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0) // t \
+        == jax.lax.broadcasted_iota(jnp.int32, (s, s), 1) // t
+    key_ok = blk[None, None, None] & vmask[:, :, None, None, :]
+    logits = jnp.einsum("bwhtd,bwhsd->bwhts", qg, kg,
+                        preferred_element_type=jnp.float32)
+    logits = jnp.where(key_ok, logits, -1e9)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bwhts,bwhsd->bwhtd", attn.astype(vg.dtype), vg)
+    out = jnp.moveaxis(out.reshape(b, wg, h, g, t, d), 3, 2).reshape(
+        b, wg * g, h, t, d)[:, :w]
+    return out

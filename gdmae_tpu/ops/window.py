@@ -308,6 +308,124 @@ def _sbr_bwd(res, g):
 _scatter_bucket_rows_p.defvjp(_sbr_fwd, _sbr_bwd)
 
 
+def _gather_flat_impl(rows, src_flat):
+    b, m, c = rows.shape
+    pad = jnp.concatenate([rows, jnp.zeros((b, 1, c), rows.dtype)], axis=1)
+    return jnp.take_along_axis(pad, src_flat[..., None], axis=1)
+
+
+def _place_flat_impl(rows, flat_feats, inv_idx, total):
+    b, m, c = rows.shape
+    tokens = jnp.concatenate(
+        [flat_feats, jnp.zeros((b, 1, c), rows.dtype)], axis=1)
+    covered = inv_idx < total
+    idx = jnp.minimum(inv_idx, total)
+    picked = jnp.take_along_axis(tokens, idx[..., None], axis=1)
+    return jnp.where(covered[..., None], picked, rows)
+
+
+@jax.custom_vjp
+def _gather_rows_flat_p(rows, src_flat, inv_idx):
+    return _gather_flat_impl(rows, src_flat)
+
+
+def _grf_fwd(rows, src_flat, inv_idx):
+    return _gather_flat_impl(rows, src_flat), (src_flat, inv_idx, rows.shape)
+
+
+def _grf_bwd(res, g):
+    # every row appears in at most one bucket slot -> transpose is a gather
+    # of the slot gradient at the row's packed position (trash -> zero)
+    src_flat, inv_idx, (b, m, c) = res
+    total = src_flat.shape[1]
+    grows = _place_flat_impl(jnp.zeros((b, m, c), g.dtype), g, inv_idx, total)
+    return (grows, jnp.zeros_like(src_flat), jnp.zeros_like(inv_idx))
+
+
+_gather_rows_flat_p.defvjp(_grf_fwd, _grf_bwd)
+
+
+@jax.custom_vjp
+def _scatter_rows_flat_p(rows, flat_feats, src_flat, inv_idx):
+    return _place_flat_impl(rows, flat_feats, inv_idx, src_flat.shape[1])
+
+
+def _srf_fwd(rows, flat_feats, src_flat, inv_idx):
+    total = src_flat.shape[1]
+    return (_place_flat_impl(rows, flat_feats, inv_idx, total),
+            (src_flat, inv_idx, total))
+
+
+def _srf_bwd(res, g):
+    src_flat, inv_idx, total = res
+    covered = (inv_idx < total)[..., None]
+    grows = jnp.where(covered, jnp.zeros_like(g), g)
+    gflat = _gather_flat_impl(jnp.where(covered, g, 0.0), src_flat)
+    return (grows, gflat, jnp.zeros_like(src_flat), jnp.zeros_like(inv_idx))
+
+
+_scatter_rows_flat_p.defvjp(_srf_fwd, _srf_bwd)
+
+
+def plan_src_flat(plan: BucketPlan):
+    """Level-concatenated (B, S) row index (trash = M) — the packed-token
+    order, matching ``plan.inv_idx`` positions."""
+    b = plan.tok_src[0].shape[0]
+    return jnp.concatenate([s.reshape(b, -1) for s in plan.tok_src], axis=1)
+
+
+def plan_valid_flat(plan: BucketPlan):
+    b = plan.tok_valid[0].shape[0]
+    return jnp.concatenate([v.reshape(b, -1) for v in plan.tok_valid], axis=1)
+
+
+def plan_yx_flat(plan: BucketPlan):
+    b = plan.tok_yx[0].shape[0]
+    return jnp.concatenate(
+        [yx.reshape(b, -1, 2) for yx in plan.tok_yx], axis=1)
+
+
+def plan_block_ts(plan: BucketPlan, block: int = 128):
+    """Static per-128-block window length for the packed-token layout, or
+    ``None`` when some level's W_l*T_l does not align to ``block``.
+
+    Returns a tuple ``ts`` with one entry per block: attention over the
+    packed (B, S, C) stream runs on (S//block) independent ``block``-wide
+    tiles, each block-diagonal with sub-window size ``ts[i]``."""
+    ts = []
+    for s in plan.tok_src:
+        _, w, t = s.shape
+        if (w * t) % block:
+            return None
+        ts.extend([t] * ((w * t) // block))
+    return tuple(ts)
+
+
+def packed_block_bias(ts, block: int = 128):
+    """(num_blocks, block, block) additive f32 bias: 0 inside each
+    T-sub-window diagonal, -1e9 elsewhere (numpy constant, trace-time)."""
+    nb = len(ts)
+    bias = np.full((nb, block, block), -1e9, np.float32)
+    for i, t in enumerate(ts):
+        for j in range(0, block, t):
+            bias[i, j:j + t, j:j + t] = 0.0
+    return jnp.asarray(bias)
+
+
+def gather_bucket_rows_flat(rows: jnp.ndarray, plan: BucketPlan):
+    """Token rows (B, M, C) -> packed (B, S, C) bucket stream (both VJP
+    directions pure gathers)."""
+    return _gather_rows_flat_p(rows, plan_src_flat(plan), plan.inv_idx)
+
+
+def scatter_bucket_rows_flat(rows: jnp.ndarray, plan: BucketPlan,
+                             flat_feats: jnp.ndarray):
+    """Write the packed (B, S, C) stream back into rows (untouched rows keep
+    their features); pure gathers in both VJP directions."""
+    return _scatter_rows_flat_p(
+        rows, flat_feats, plan_src_flat(plan), plan.inv_idx)
+
+
 def gather_bucket_rows(rows: jnp.ndarray, plan: BucketPlan):
     """Token rows (B, M, C) -> list of (B, W_l, T_l, C) bucket tensors;
     the plan's ``tok_src`` holds per-sample row indices (trash = M).

@@ -61,3 +61,21 @@ def test_fused_gradients_match_reference():
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_blocked_matches_reference():
+    from gdmae_tpu.ops.pallas.window_attention import blocked_window_attention
+    rng = np.random.RandomState(3)
+    for w, t in [(6, 16), (8, 32), (4, 64), (3, 128)]:
+        b, h, d = 2, 4, 16
+        q = jnp.asarray(rng.randn(b, w, h, t, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, w, h, t, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, w, h, t, d).astype(np.float32))
+        valid = jnp.asarray(rng.rand(b, w, t) > 0.3).at[..., 0].set(True)
+        ref = reference_window_attention(q, k, v, valid)
+        got = blocked_window_attention(q, k, v, valid)
+        # rows with an invalid query are garbage in both paths; compare
+        # valid rows only
+        m = np.asarray(valid)[:, :, None, :, None]
+        np.testing.assert_allclose(np.asarray(got) * m, np.asarray(ref) * m,
+                                   rtol=2e-5, atol=2e-5)

@@ -1,6 +1,7 @@
 """Window bucketing plan vs a numpy oracle of the reference SST semantics
 (reference sst_utils.get_window_coors + SSTInputLayer drop/bucket logic)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from gdmae_tpu.ops import window as W
@@ -117,3 +118,61 @@ def test_pos_embed_shapes_and_range():
     assert np.all(np.abs(pe) <= 1.0 + 1e-6)
     # distinct positions -> distinct embeddings
     assert len(np.unique(pe.round(4), axis=0)) == 64
+
+
+def test_packed_shift_block_matches_per_level():
+    """CanvasShiftBlock's packed 128-block path must match the per-level
+    bucket path exactly (same plan, same params)."""
+    import numpy as np
+    from unittest import mock
+
+    from gdmae_tpu.models.model_utils.sst_layers import CanvasShiftBlock
+    from gdmae_tpu.ops import window as window_ops
+
+    rng = np.random.RandomState(0)
+    ny, nx, m = 32, 32, 64
+    b = 2
+    occ_np = np.zeros((b, ny, nx), bool)
+    coords_list, mask_list = [], []
+    for bi in range(b):
+        cells = rng.choice(ny * nx, size=m - 5, replace=False)
+        cells.sort()
+        cy, cx = cells // nx, cells % nx
+        for y, x in zip(cy, cx):
+            occ_np[bi, y, x] = True
+        coords = np.zeros((m, 2), np.int32)
+        coords[: m - 5, 0] = cy
+        coords[: m - 5, 1] = cx
+        coords_list.append(coords)
+        mask_list.append(np.arange(m) < m - 5)
+    occ = jnp.asarray(occ_np)
+    coords = jnp.asarray(np.stack(coords_list))
+    mask = jnp.asarray(np.stack(mask_list))
+
+    window = (8, 8)
+    specs = window_ops.drop_specs_from_cfg({
+        "0": {"max_tokens": 16, "drop_range": [0, 16]},
+        "1": {"max_tokens": 32, "drop_range": [16, 32]},
+        "2": {"max_tokens": 64, "drop_range": [32, 100000]},
+    })
+    caps = (16, 8, 4)  # 16*16=256, 8*32=256, 4*64=256 — all 128-aligned
+    c2t = window_ops.build_cell2tok(coords, mask, (ny, nx))
+    tcell = window_ops.token_cell_index(coords, mask, (ny, nx))
+    plans = [
+        window_ops.plan_to_tokens(
+            window_ops.build_bucket_plan(
+                occ, (ny, nx), window, shift, specs, caps),
+            c2t, tcell, m)
+        for shift in ((0, 0), (4, 4))
+    ]
+    assert window_ops.plan_block_ts(plans[0]) is not None
+
+    rows = jnp.asarray(rng.randn(b, m, 64).astype(np.float32))
+    blk = CanvasShiftBlock(d_model=64, nhead=4, dim_feedforward=128,
+                           window=window)
+    params = blk.init(jax.random.PRNGKey(0), rows, plans)
+    packed = blk.apply(params, rows, plans)
+    with mock.patch.object(window_ops, "plan_block_ts", lambda p: None):
+        per_level = blk.apply(params, rows, plans)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(per_level),
+                               rtol=2e-5, atol=2e-5)

@@ -1,0 +1,196 @@
+"""Honest full-step ablation profiler for the MAE pretrain bench.
+
+Per-op micro-timing through the tunneled TPU is unreliable (~29 ms dispatch
+floor, heavy contention noise), so this measures the ONLY trustworthy thing:
+the full jitted train step with one component stubbed out per run, timed
+best-of-windows exactly like bench.py.  The difference full-minus-ablated is
+that component's true contribution (fwd+bwd+optimizer overlap included).
+
+Usage: python tools/profile_ablate.py <variant> [batch]
+Variants:
+  full       — unmodified step (same as bench.py, no-remat)
+  novfe      — DynVFE replaced by a synthetic pillar stub (measures the
+               whole VFE: pillarize sort/histogram + feature build + MLPs)
+  noloss     — chamfer + MAE gt grouping replaced by cheap L2 on pred
+  nofuse     — DeconvFuse replaced by a 1x1 conv on x_conv1 (measures the
+               generative-decoder deconv pyramid)
+  noattn     — window plans built but transformer math skipped
+  noplans    — plans AND attention skipped (noattn-noplans = plan cost)
+  sparseconv — TPU_SPARSE_CONV: gather-based token convs instead of dense
+               canvas convs (A/B, not an ablation)
+  sgd        — optimizer swapped for plain SGD (measures adam+clip+onecycle)
+  nomask     — MAE random masking + kept-compaction replaced by a static
+               every-k-th-pillar selection (measures masking/nonzero cost)
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    variant = sys.argv[1] if len(sys.argv) > 1 else "full"
+    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from gdmae_tpu.config import cfg_from_yaml_file
+    from gdmae_tpu.models.detectors.detector3d_template import (
+        DatasetMeta, build_network,
+    )
+    from gdmae_tpu.runtime import optimization, train as train_lib
+    from gdmae_tpu.utils import loss_utils
+    from gdmae_tpu.ops import scatter as scatter_ops
+    from gdmae_tpu.models.backbones_3d import spt_backbone as spt_mod
+    from gdmae_tpu.models.vfe import dyn_vfe as dyn_vfe_mod
+
+    cfg = cfg_from_yaml_file(str(REPO / "tools/cfgs/kitti_models/gd_mae_ssl.yaml"))
+    cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS = [
+        [160, 64, 32], [96, 48, 24], [64, 32, 16]]
+    cfg.MODEL.BACKBONE_3D.TPU_REMAT = False
+    meta = DatasetMeta(
+        class_names=cfg.CLASS_NAMES,
+        point_cloud_range=cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
+        voxel_size=[0.32, 0.32, 4],
+        grid_size=[216, 248],
+        num_point_features=4,
+        max_points=16384,
+        max_pillars=8192,
+    )
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    # ---- apply ablation patches ----
+    if variant == "noloss":
+        def fake_chamfer(pred, gt, pred_mask=None, gt_mask=None, weights=None):
+            return jnp.mean(pred.astype(jnp.float32) ** 2)
+        loss_utils.chamfer_distance = fake_chamfer
+
+        def fake_group(values, res, k):
+            n, c = values.shape
+            m = res.pillar_start.shape[0]
+            z = jnp.zeros((m, k, c), values.dtype) + values[0] * 1e-30
+            return z, jnp.zeros((m, k), bool)
+        scatter_ops.group_points_padded = fake_group
+    elif variant == "nofuse":
+        class Fuse1x1(nn.Module):
+            fuse_cfg: object
+            sources: object
+            dtype: object = jnp.float32
+
+            @nn.compact
+            def __call__(self, feature_maps, train=True):
+                from gdmae_tpu.config import as_easy
+                fc = as_easy(self.fuse_cfg)
+                total = sum(int(fc[s].NUM_UPSAMPLE_FILTER) for s in self.sources)
+                out_ch = total // len(self.sources)
+                return nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                               name="stub")(feature_maps[self.sources[0]])
+        spt_mod.DeconvFuse = Fuse1x1
+    elif variant == "noattn":
+        cfg.MODEL.BACKBONE_3D.TPU_ABLATE = ["attn"]
+    elif variant == "noplans":
+        cfg.MODEL.BACKBONE_3D.TPU_ABLATE = ["plans"]
+    elif variant == "novfe":
+        def stub_call(self, batch_dict, train=True):
+            points = batch_dict["points"]
+            b, n, _ = points.shape
+            m = self.max_pillars
+            nx, ny = int(self.grid_size[0]), int(self.grid_size[1])
+            lin = jnp.arange(m, dtype=jnp.int32)
+            coords = jnp.stack([lin // nx, lin % nx], axis=-1)
+            coords = jnp.broadcast_to(coords[None], (b, m, 2))
+            c_out = self.output_feature_dim
+            pf = jnp.pad(points[:, :m, :], ((0, 0), (0, 0), (0, c_out - points.shape[-1])))
+            point_pillar = ((jnp.arange(n, dtype=jnp.int32) * m) // n)
+            point_pillar = jnp.broadcast_to(point_pillar[None], (b, n))
+            starts = (jnp.arange(m, dtype=jnp.int32) * n) // m
+            counts = jnp.diff(jnp.concatenate(
+                [starts, jnp.asarray([n], jnp.int32)]))
+            res = scatter_ops.PillarizeResult(
+                pillar_coords=jnp.broadcast_to(
+                    jnp.stack([lin // nx, lin % nx], -1)[None], (b, m, 2)),
+                pillar_mask=jnp.ones((b, m), bool),
+                point_pillar=point_pillar,
+                point_order=jnp.broadcast_to(
+                    jnp.arange(n, dtype=jnp.int32)[None], (b, n)),
+                pillar_start=jnp.broadcast_to(starts[None], (b, m)),
+                pillar_count=jnp.broadcast_to(counts[None], (b, m)),
+                num_pillars=jnp.full((b,), m, jnp.int32),
+            )
+            batch_dict["pillar_features"] = pf.astype(self.dtype)
+            batch_dict["pillar_coords"] = coords
+            batch_dict["pillar_mask"] = jnp.ones((b, m), bool)
+            batch_dict["point_pillar"] = point_pillar
+            batch_dict["point_valid"] = jnp.ones((b, n), bool)
+            batch_dict["pillarize_result"] = res
+            return batch_dict
+        dyn_vfe_mod.DynVFE.__call__ = stub_call
+    elif variant == "sparseconv":
+        cfg.MODEL.BACKBONE_3D.TPU_SPARSE_CONV = True
+    elif variant == "nofuseremat":
+        cfg.MODEL.BACKBONE_3D.TPU_REMAT_FUSE = False
+    elif variant == "nomask":
+        def fake_masking(key, valid_mask, mask_ratio):
+            m = valid_mask.shape[0]
+            keep_every = max(1, int(round(1.0 / (1.0 - mask_ratio))))
+            keep = (jnp.arange(m) % keep_every == 0) & valid_mask
+            return jnp.where(keep, 0.0, 1.0) + 0.0 * jax.random.uniform(key, ())
+        scatter_ops.random_masking = fake_masking
+    elif variant not in ("full", "sgd"):
+        raise SystemExit(f"unknown variant {variant}")
+
+    model = build_network(cfg.MODEL, num_class=3, dataset=meta, dtype=dtype)
+    rng = np.random.RandomState(0)
+    n = meta.max_points
+    pts = np.zeros((batch_size, n, 4), np.float32)
+    pts[..., 0] = rng.uniform(0.5, 68.5, (batch_size, n))
+    pts[..., 1] = rng.uniform(-39, 39, (batch_size, n))
+    pts[..., 2] = rng.uniform(-2.5, 0.5, (batch_size, n))
+    pts[..., 3] = rng.uniform(0, 1, (batch_size, n))
+    batch = {
+        "points": jnp.asarray(pts),
+        "point_mask": jnp.ones((batch_size, n), bool),
+    }
+    params, batch_stats = train_lib.init_model(model, batch, seed=0)
+    if variant == "sgd":
+        import optax
+        tx = optax.sgd(0.01)
+    else:
+        tx, _ = optimization.build_optimizer(cfg.OPTIMIZATION, 100, 30)
+    state = train_lib.TrainState.create(params, batch_stats, tx)
+    step = train_lib.make_train_step(model)
+    key = jax.random.PRNGKey(0)
+    state, metrics = step(state, batch, key)
+    float(jnp.sum(metrics["loss"]))
+
+    iters = 8 if on_tpu else 2
+    windows = 6 if on_tpu else 1
+    best = float("inf")
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = step(
+                state, batch, jax.random.fold_in(key, w * iters + i))
+        float(jnp.sum(metrics["loss"]))
+        best = min(best, time.perf_counter() - t0)
+
+    ms = best / iters * 1e3
+    print(json.dumps({
+        "variant": variant, "batch": batch_size,
+        "ms_per_step": round(ms, 1),
+        "scans_per_sec": round(batch_size * iters / best, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -247,15 +247,36 @@ def main():
                       sources=["x_conv1", "x_conv2", "x_conv3"], dtype=dtype)
     fvars = fuse.init(jax.random.PRNGKey(3), fm, train=True)
 
+    # canvases passed as ARGS (closed-over device constants would ship as
+    # literals in the remote AOT compile body -> HTTP 413)
     @jax.jit
-    def f_fuse_grad(x1):
+    def f_fuse_grad(x1, x2, x3):
         def loss(x):
-            out = fuse.apply(fvars, {**fm, "x_conv1": x}, train=True,
-                             mutable=["batch_stats"])[0]
+            out = fuse.apply(
+                fvars, {"x_conv1": x, "x_conv2": x2, "x_conv3": x3},
+                train=True, mutable=["batch_stats"])[0]
             return jnp.sum(out.astype(jnp.float32))
         return jax.grad(loss)(x1)
 
-    timed("deconv_fuse fwd+bwd", f_fuse_grad, (fm["x_conv1"],), perturb_first)
+    timed("deconv_fuse fwd+bwd", f_fuse_grad,
+          (fm["x_conv1"], fm["x_conv2"], fm["x_conv3"]), perturb_first)
+
+    # ---- chamfer loss fwd+bwd at MAE scale ----
+    from gdmae_tpu.utils.loss_utils import chamfer_distance
+    pred_pts = jnp.asarray(
+        rng.standard_normal((B * M, 16, 3)).astype(np.float32))
+    gt_pts = jnp.asarray(
+        rng.standard_normal((B * M, 64, 3)).astype(np.float32))
+    gt_m = jnp.asarray(rng.rand(B * M, 64) > 0.5)
+    w = jnp.asarray(rng.rand(B * M).astype(np.float32))
+
+    @jax.jit
+    def f_chamfer(pred):
+        def loss(p):
+            return chamfer_distance(p, gt_pts, gt_mask=gt_m, weights=w)
+        return jax.grad(loss)(pred)
+
+    timed("chamfer fwd+bwd", f_chamfer, (pred_pts,), perturb_first)
 
     # ---- 7. MAE target grouping ----
     @jax.jit
