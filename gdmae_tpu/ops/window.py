@@ -481,6 +481,33 @@ def compact_occupancy(occ: jnp.ndarray, cap: int):
     return jax.vmap(one)(flat)
 
 
+def searchsorted_rows(sorted_rows: jnp.ndarray, queries: jnp.ndarray,
+                      side: str = "left"):
+    """Row-wise ``searchsorted``: a hand-rolled vectorized binary search.
+
+    ``jnp.searchsorted``'s default lowering is a serial scan on TPU; this
+    is log2(M) rounds of batched gathers + compares — fully vectorized.
+
+    Args:
+        sorted_rows: (B, M) nondecreasing int rows.
+        queries: (B, Q) (or broadcastable) query values.
+    Returns:
+        (B, Q) int32 insertion positions in [0, M].
+    """
+    b, m_ = sorted_rows.shape
+    queries = jnp.broadcast_to(queries, (b, queries.shape[-1]))
+    lo = jnp.zeros(queries.shape, jnp.int32)
+    hi = jnp.full(queries.shape, m_, jnp.int32)
+    for _ in range(int(np.ceil(np.log2(m_ + 1)))):
+        mid = (lo + hi) >> 1
+        v = jnp.take_along_axis(sorted_rows, jnp.minimum(mid, m_ - 1), axis=1)
+        go_right = (v < queries) if side == "left" else (v <= queries)
+        go_right = go_right & (mid < hi)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
 def build_cell2tok(coords: jnp.ndarray, mask: jnp.ndarray, grid_hw,
                    sorted_cells: bool = True):
     """(B, M, 2) int32 cell coords + (B, M) mask -> (B, Ny*Nx) int32 mapping
@@ -489,10 +516,12 @@ def build_cell2tok(coords: jnp.ndarray, mask: jnp.ndarray, grid_hw,
 
     With ``sorted_cells`` (the default — every token list in the pipeline
     is in raster order: pillarization sorts by cell, compact_occupancy and
-    the MAE kept-compaction preserve raster order) the map is a vectorized
-    binary search instead of a (Ny*Nx)-wide int32 scatter; TPU scatters
-    serialize per update (measured 127 ms for the scatter form at KITTI
-    scale, ~5 ms for the searchsorted form)."""
+    the MAE kept-compaction preserve raster order) the map is a hand-rolled
+    vectorized binary search (:func:`searchsorted_rows`): ~13 rounds of
+    batched gathers.  TPU scatters serialize per update and
+    ``jnp.searchsorted`` lowers to a serial scan, so both alternatives are
+    orders of magnitude slower at canvas scale; they remain selectable via
+    GDMAE_C2T_SCATTER for A/B."""
     b, m, _ = coords.shape
     ny, nx = grid_hw
     flat = coords[..., 0] * nx + coords[..., 1]
@@ -500,16 +529,12 @@ def build_cell2tok(coords: jnp.ndarray, mask: jnp.ndarray, grid_hw,
 
     import os
 
-    if sorted_cells and os.environ.get("GDMAE_C2T_SEARCHSORTED"):
-        q = jnp.arange(ny * nx, dtype=jnp.int32)
-
-        def one(fl):
-            pos = jnp.searchsorted(fl, q)  # (Ny*Nx,) in [0, M]
-            pos_c = jnp.minimum(pos, m - 1)
-            match = (fl[pos_c] == q) & (pos < m)
-            return jnp.where(match, pos_c, m).astype(jnp.int32)
-
-        return jax.vmap(one)(flat)
+    if sorted_cells and not os.environ.get("GDMAE_C2T_SCATTER"):
+        q = jnp.arange(ny * nx, dtype=jnp.int32)[None]
+        pos = searchsorted_rows(flat, q)  # (B, Ny*Nx) in [0, M]
+        pos_c = jnp.minimum(pos, m - 1)
+        match = (jnp.take_along_axis(flat, pos_c, axis=1) == q) & (pos < m)
+        return jnp.where(match, pos_c, m).astype(jnp.int32)
 
     rows = jnp.arange(m, dtype=jnp.int32)
 

@@ -201,3 +201,31 @@ class TestConfig:
         assert config.MODEL.LR == 0.001
         with pytest.raises(AssertionError):
             cfg_from_list(["MODEL.MISSING", "1"], config)
+
+
+def test_chamfer_select_matches_exact():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gdmae_tpu.utils.loss_utils import chamfer_distance
+
+    rng = np.random.RandomState(0)
+    n, p1, p2 = 64, 16, 64
+    pred = jnp.asarray(rng.randn(n, p1, 3).astype(np.float32))
+    gt = jnp.asarray(rng.randn(n, p2, 3).astype(np.float32))
+    gm = jnp.asarray(rng.rand(n, p2) > 0.4).at[:, 0].set(True)
+    w = jnp.asarray(rng.rand(n).astype(np.float32))
+    exact = chamfer_distance(pred, gt, gt_mask=gm, weights=w, method="exact")
+    sel = chamfer_distance(pred, gt, gt_mask=gm, weights=w, method="select")
+    # bf16 argmin can pick a near-tied neighbour; values still agree closely
+    np.testing.assert_allclose(float(sel), float(exact), rtol=2e-2)
+
+    g_exact = jax.grad(lambda p: chamfer_distance(
+        p, gt, gt_mask=gm, weights=w, method="exact"))(pred)
+    g_sel = jax.grad(lambda p: chamfer_distance(
+        p, gt, gt_mask=gm, weights=w, method="select"))(pred)
+    # gradients differ only where the bf16 argmin picked a different
+    # near-tied neighbour; compare in aggregate
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(g_sel - g_exact))
+        / max(float(jnp.linalg.norm(g_exact)), 1e-9), 0.0, atol=0.1)

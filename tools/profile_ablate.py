@@ -139,6 +139,18 @@ def main():
         cfg.MODEL.BACKBONE_3D.TPU_SPARSE_CONV = True
     elif variant == "nofuseremat":
         cfg.MODEL.BACKBONE_3D.TPU_REMAT_FUSE = False
+    elif variant == "nobn":
+        from gdmae_tpu.models.model_utils import blocks as blocks_mod
+        from flax import linen as fnn
+
+        def bn_stub(self, x, mask=None, use_running_average=None):
+            c = x.shape[-1]
+            scale = self.param("scale", fnn.initializers.ones, (c,), jnp.float32)
+            bias = self.param("bias", fnn.initializers.zeros, (c,), jnp.float32)
+            self.variable("batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32))
+            self.variable("batch_stats", "var", lambda: jnp.ones(c, jnp.float32))
+            return (x.astype(jnp.float32) * scale + bias).astype(self.dtype)
+        blocks_mod.MaskedBatchNorm.__call__ = fnn.compact(bn_stub)
     elif variant == "nomask":
         def fake_masking(key, valid_mask, mask_ratio):
             m = valid_mask.shape[0]
