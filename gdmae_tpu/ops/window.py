@@ -514,14 +514,12 @@ def build_cell2tok(coords: jnp.ndarray, mask: jnp.ndarray, grid_hw,
     each flat canvas cell to its per-sample token row ``m`` (or ``M`` when
     the cell holds no token).
 
-    With ``sorted_cells`` (the default — every token list in the pipeline
-    is in raster order: pillarization sorts by cell, compact_occupancy and
-    the MAE kept-compaction preserve raster order) the map is a hand-rolled
-    vectorized binary search (:func:`searchsorted_rows`): ~13 rounds of
-    batched gathers.  TPU scatters serialize per update and
-    ``jnp.searchsorted`` lowers to a serial scan, so both alternatives are
-    orders of magnitude slower at canvas scale; they remain selectable via
-    GDMAE_C2T_SCATTER for A/B."""
+    Default: a (Ny*Nx)-wide `.at[].set` with the sorted-indices hint —
+    XLA's TPU scatter with sorted unique-ish indices is fast here.  The
+    hand-rolled binary search (:func:`searchsorted_rows`) is kept opt-in
+    (GDMAE_C2T_BINSEARCH): its 13 rounds of SCALAR-granularity
+    take_along_axis gathers measured ~270 ms/step slower at MAE-bench
+    scale (TPU gathers move (8,128) tiles; 4-byte rows waste ~100x)."""
     b, m, _ = coords.shape
     ny, nx = grid_hw
     flat = coords[..., 0] * nx + coords[..., 1]
@@ -529,7 +527,7 @@ def build_cell2tok(coords: jnp.ndarray, mask: jnp.ndarray, grid_hw,
 
     import os
 
-    if sorted_cells and not os.environ.get("GDMAE_C2T_SCATTER"):
+    if sorted_cells and os.environ.get("GDMAE_C2T_BINSEARCH"):
         q = jnp.arange(ny * nx, dtype=jnp.int32)[None]
         pos = searchsorted_rows(flat, q)  # (B, Ny*Nx) in [0, M]
         pos_c = jnp.minimum(pos, m - 1)

@@ -177,8 +177,9 @@ def chamfer_distance(pred, gt, pred_mask=None, gt_mask=None, weights=None,
         pred: (N, P1, 3), gt: (N, P2, 3)
         pred_mask: optional (N, P1) validity; gt_mask: optional (N, P2)
         weights: optional (N,) per-set weights
-        method: 'auto' (select on accelerators, exact on CPU), 'select'
-            (bf16 argmin + exact f32 loss on selected pairs), or 'exact'.
+        method: 'auto' (exact fused distance+min — fastest measured on
+            v5e), 'select' (bf16 argmin + exact f32 loss on selected
+            pairs; slower: tiny-row gathers), or 'exact'.
     Returns scalar loss (matches pytorch3d default: point_reduction='mean',
     batch_reduction='mean' with weight normalization by sum of weights).
     """
@@ -223,14 +224,12 @@ def chamfer_distance(pred, gt, pred_mask=None, gt_mask=None, weights=None,
         else:
             min_pg, min_gp = _minima((pred, gt, pm_full, gm_full))
     elif method == "select" or (
-            method == "auto"
-            and jax.devices()[0].platform != "cpu"
-            and not os.environ.get("GDMAE_CHAMFER_EXACT")):
-        # nearest-neighbour SELECTION on bf16 distances (halves the HBM
-        # traffic of the (N, P1, P2) cross tensor — 536 MB at MAE-bench
-        # scale), then the EXACT f32 loss on just the selected pairs; the
-        # backward pass flows through (N, P, 3) gathers instead of the
-        # full cross tensor.  Identical up to argmin ties.
+            method == "auto" and os.environ.get("GDMAE_CHAMFER_SELECT")):
+        # nearest-neighbour SELECTION on bf16 distances, exact f32 loss on
+        # the selected pairs.  NOT the default: the (N, P) take_along_axis
+        # of 12-byte rows is a tiny-row gather, measured ~800 ms/step SLOWER
+        # than the exact fused distance+min path at MAE-bench scale on v5e
+        # (TPU gathers move (8,128) tiles).  Kept as an opt-in A/B path.
         sel = jnp.bfloat16
         d2l = jnp.sum(
             (pred.astype(sel)[:, :, None, :]
