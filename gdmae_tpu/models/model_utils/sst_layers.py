@@ -44,10 +44,11 @@ class CosineMultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, qk: jnp.ndarray, v: jnp.ndarray, valid: jnp.ndarray,
-                 attn_bias: Optional[jnp.ndarray] = None):
-        """qk/v: (..., T, C); valid: (..., T).  ``attn_bias`` (lead[-1], T, T)
-        carries the packed-block sub-window structure (see
-        ops.window.packed_block_bias) and routes to the biased kernel."""
+                 block_ts: Optional[Tuple[int, ...]] = None):
+        """qk/v: (..., T, C); valid: (..., T).  ``block_ts`` (static tuple,
+        one sub-window size per 128-token block) marks the packed-block
+        layout and routes to the fused Pallas kernel (XLA biased-einsum
+        fallback elsewhere)."""
         *lead, t, c = qk.shape
         h = self.nhead
         hd = c // h
@@ -60,20 +61,26 @@ class CosineMultiheadAttention(nn.Module):
         k = qk @ qkv_w[:, c : 2 * c].astype(self.dtype) + qkv_b[c : 2 * c].astype(self.dtype)
         vv = v @ qkv_w[:, 2 * c :].astype(self.dtype) + qkv_b[2 * c :].astype(self.dtype)
 
-        def heads(x):  # (..., T, C) -> (..., H, T, hd)
-            x = x.reshape(*lead, t, h, hd)
-            return jnp.moveaxis(x, -2, -3)
-
-        q, k, vv = heads(q), heads(k), heads(vv)
-
+        # per-head scaling applied on the FLAT (..., T, C) layout — no
+        # (..., H, T, hd) tensor is materialized (hd=16 minor dims pad 8x
+        # in (8,128) HBM tiles)
         if self.cosine:
-            q = q * jax.lax.rsqrt(jnp.sum(jnp.square(q), -1, keepdims=True) + 1e-12)
-            k = k * jax.lax.rsqrt(jnp.sum(jnp.square(k), -1, keepdims=True) + 1e-12)
             tau_shape = (h, 1, 1) if self.non_shared_tau else (1, 1, 1)
             tau = self.param("tau", nn.initializers.ones, tau_shape, jnp.float32)
-            # fold the temperature into q so the attention core is a plain
-            # softmax(qk^T)v — lets the fused Pallas kernel handle both modes
-            q = q / jnp.maximum(tau, self.tau_min).astype(q.dtype)
+            # (H, 1) or (1, 1): broadcasts against the (..., T, H, 1) norms
+            inv_tau = (1.0 / jnp.maximum(tau, self.tau_min)) \
+                .astype(self.dtype).reshape(-1, 1)
+
+            def norm_flat(x, scale=None):
+                x4 = x.reshape(*x.shape[:-1], h, hd)
+                r = jax.lax.rsqrt(
+                    jnp.sum(jnp.square(x4), -1, keepdims=True) + 1e-12)
+                if scale is not None:
+                    r = r * scale
+                return (x4 * r).reshape(*x.shape)
+
+            q = norm_flat(q, inv_tau)
+            k = norm_flat(k)
         else:
             q = q / jnp.sqrt(float(hd)).astype(q.dtype)
 
@@ -81,15 +88,35 @@ class CosineMultiheadAttention(nn.Module):
 
         from ...ops.pallas.window_attention import (
             biased_window_attention, blocked_window_attention,
-            fused_window_attention, reference_window_attention)
+            fused_window_attention, packed_window_mha,
+            reference_window_attention)
 
-        if attn_bias is not None:
-            out = jax.checkpoint(biased_window_attention)(
-                q, k, vv, valid, attn_bias)
+        if block_ts is not None:
+            b, nb = lead
+            if jax.devices()[0].platform != "cpu" and t == 128 and \
+                    not os.environ.get("GDMAE_NO_PALLAS_PACKED"):
+                out = packed_window_mha(
+                    q.reshape(b, nb * t, c), k.reshape(b, nb * t, c),
+                    vv.reshape(b, nb * t, c), valid.reshape(b, nb * t),
+                    block_ts, h).reshape(b, nb, t, c)
+            else:
+                bias = window_ops.packed_block_bias(block_ts)
+
+                def heads(x):
+                    return jnp.moveaxis(x.reshape(b, nb, t, h, hd), -2, -3)
+
+                out = jax.checkpoint(biased_window_attention)(
+                    heads(q), heads(k), heads(vv), valid, bias)
+                out = jnp.moveaxis(out, -3, -2).reshape(b, nb, t, c)
             out = out.astype(self.dtype)
-            out = jnp.moveaxis(out, -3, -2).reshape(*lead, t, c)
             out = nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
             return out * valid[..., None].astype(out.dtype)
+
+        def heads(x):  # (..., T, C) -> (..., H, T, hd)
+            x = x.reshape(*lead, t, h, hd)
+            return jnp.moveaxis(x, -2, -3)
+
+        q, k, vv = heads(q), heads(k), heads(vv)
 
         # measured on v5e: XLA's batched einsum beats the per-window Pallas
         # kernel at these T/D sizes (grid-step overhead dominates); the
@@ -177,9 +204,9 @@ class BucketEncoderLayer(nn.Module):
             return nn.relu(x)
         raise NotImplementedError(self.activation)
 
-    def __call__(self, feats, pos, valid, attn_bias=None):
+    def __call__(self, feats, pos, valid, block_ts=None):
         """feats/pos: (..., T, C); valid: (..., T)."""
-        src2 = self.win_attn(feats + pos, feats, valid, attn_bias=attn_bias)
+        src2 = self.win_attn(feats + pos, feats, valid, block_ts=block_ts)
         src = self.norm1(feats, src2)
         src2 = self.linear2(self._act(self.linear1(src)))
         src = self.norm2(src, src2)
@@ -318,12 +345,11 @@ class CanvasShiftBlock(nn.Module):
                         normalize_pos=self.normalize_pos, dtype=jnp.float32,
                     ).astype(rows.dtype)
                 valid = window_ops.plan_valid_flat(plan)
-                bias = window_ops.packed_block_bias(ts)
                 out = layer(
                     flat.reshape(b, nb, 128, c),
                     pos.reshape(b, nb, 128, c),
                     valid.reshape(b, nb, 128),
-                    attn_bias=bias,
+                    block_ts=ts,
                 )
                 rows = window_ops.scatter_bucket_rows_flat(
                     rows, plan, out.reshape(b, s, c))

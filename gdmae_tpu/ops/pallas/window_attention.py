@@ -180,6 +180,197 @@ def reference_window_attention(q, k, v, valid):
     return jnp.einsum("...hts,...hsd->...htd", attn.astype(v.dtype), v)
 
 
+def _headmask_ch(c, h, dtype):
+    """(C, H, 1) mask: 1 where channel c belongs to head h."""
+    hd = c // h
+    hh = jax.lax.broadcasted_iota(jnp.int32, (c, h, 1), 1)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (c, h, 1), 0) // hd
+    return (hh == cc).astype(dtype)
+
+
+def _headmask_hc(c, h, dtype):
+    """(H, 1, C) mask: 1 where channel c belongs to head h."""
+    hd = c // h
+    hh = jax.lax.broadcasted_iota(jnp.int32, (h, 1, c), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (h, 1, c), 2) // hd
+    return (hh == cc).astype(dtype)
+
+
+def _subwin_penalty(s, h, t):
+    rw = jax.lax.broadcasted_iota(jnp.int32, (s, 1, s), 0) // t
+    cw = jax.lax.broadcasted_iota(jnp.int32, (s, 1, s), 2) // t
+    return jnp.where(rw == cw, 0.0, -1e9).astype(jnp.float32)
+
+
+def _pmha_probs(q, k, kb, h, t):
+    """Shared fwd math: (S, C) tiles -> (S, H*S) f32 probabilities.
+
+    Per-head logits via ONE (S, C) x (C, H*S) MXU matmul: K is expanded to
+    a head-block-diagonal (C, H*S) matrix in VMEM (channels outside head h
+    zeroed), so no lane-sliced per-head matmuls and no hd-minor tensors
+    (hd=16 pads 8x in (8,128) HBM tiles) ever exist."""
+    s, c = q.shape
+    kT = jnp.swapaxes(k, 0, 1)  # (C, S)
+    k_bd = (kT[:, None, :] * _headmask_ch(c, h, k.dtype)).reshape(c, h * s)
+    logits = jax.lax.dot_general(
+        q, k_bd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    l3 = logits.reshape(s, h, s) + _subwin_penalty(s, h, t) \
+        + kb.reshape(1, 1, s)
+    m = jnp.max(l3, axis=-1, keepdims=True)
+    e = jnp.exp(l3 - m)
+    p3 = e / jnp.sum(e, axis=-1, keepdims=True)
+    return p3.reshape(s, h * s)
+
+
+def _pmha_kernel(h, t, q_ref, k_ref, v_ref, kb_ref, o_ref):
+    g, s, c = q_ref.shape
+    for gi in range(g):
+        q, k, v = q_ref[gi], k_ref[gi], v_ref[gi]
+        p = _pmha_probs(q, k, kb_ref[gi], h, t)
+        v_bd = (v[None] * _headmask_hc(c, h, v.dtype)).reshape(h * s, c)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v_bd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[gi] = o.astype(o_ref.dtype)
+
+
+def _pmha_bwd_kernel(h, t, q_ref, k_ref, v_ref, kb_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref):
+    g, s, c = q_ref.shape
+    for gi in range(g):
+        q, k, v = q_ref[gi], k_ref[gi], v_ref[gi]
+        go = g_ref[gi]
+        p = _pmha_probs(q, k, kb_ref[gi], h, t)  # (S, H*S) f32
+        pc = p.astype(v.dtype)
+        mask_hc = _headmask_hc(c, h, v.dtype)
+
+        # dV[s', c] = sum_t P[t, h(c)*S+s'] g[t, c]
+        mv = jax.lax.dot_general(  # P^T @ g -> (H*S, C)
+            pc, go, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv = jnp.sum(mv.reshape(h, s, c) * mask_hc.astype(jnp.float32),
+                     axis=0)
+
+        # dP = g @ V_bd^T: V_bd^T[c, h*S+s'] = V[s', c] * mask
+        vT = jnp.swapaxes(v, 0, 1)
+        v_bdT = (vT[:, None, :] * _headmask_ch(c, h, v.dtype)).reshape(c, h * s)
+        dp = jax.lax.dot_general(
+            go, v_bdT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (S, H*S)
+        p3 = p.reshape(s, h, s)
+        dp3 = dp.reshape(s, h, s)
+        ds3 = p3 * (dp3 - jnp.sum(dp3 * p3, axis=-1, keepdims=True))
+        ds = ds3.reshape(s, h * s).astype(v.dtype)
+
+        # dQ = ds @ K_bd^T: K_bd^T[h*S+s', c] = K[s', c] * mask
+        k_bdT = (k[None] * mask_hc).reshape(h * s, c)
+        dq = jax.lax.dot_general(
+            ds, k_bdT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        # dK[s', c] = sum_t ds[t, h(c)*S+s'] q[t, c]
+        mk = jax.lax.dot_general(  # ds^T @ q -> (H*S, C)
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk = jnp.sum(mk.reshape(h, s, c) * mask_hc.astype(jnp.float32),
+                     axis=0)
+
+        dq_ref[gi] = dq.astype(dq_ref.dtype)
+        dk_ref[gi] = dk.astype(dk_ref.dtype)
+        dv_ref[gi] = dv.astype(dv_ref.dtype)
+
+
+def _pmha_pick_group(n):
+    for g in (8, 4, 2):
+        if n % g == 0:
+            return g
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _packed_mha_level(q, k, v, kb, h, t, interpret):
+    """q/k/v: (N, S, C) packed blocks; kb: (N, 1, S) f32 key-padding bias."""
+    n, s, c = q.shape
+    g = _pmha_pick_group(n)
+    blk = pl.BlockSpec((g, s, c), lambda i: (i, 0, 0))
+    kbb = pl.BlockSpec((g, 1, s), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_pmha_kernel, h, t),
+        out_shape=jax.ShapeDtypeStruct((n, s, c), q.dtype),
+        grid=(n // g,),
+        in_specs=[blk, blk, blk, kbb],
+        out_specs=blk,
+        interpret=interpret,
+    )(q, k, v, kb)
+
+
+def _pmha_fwd(q, k, v, kb, h, t, interpret):
+    return _packed_mha_level(q, k, v, kb, h, t, interpret), (q, k, v, kb)
+
+
+def _pmha_bwd(h, t, interpret, res, go):
+    q, k, v, kb = res
+    n, s, c = q.shape
+    g = _pmha_pick_group(n)
+    blk = pl.BlockSpec((g, s, c), lambda i: (i, 0, 0))
+    kbb = pl.BlockSpec((g, 1, s), lambda i: (i, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_pmha_bwd_kernel, h, t),
+        out_shape=[jax.ShapeDtypeStruct((n, s, c), q.dtype)] * 3,
+        grid=(n // g,),
+        in_specs=[blk, blk, blk, kbb, blk],
+        out_specs=[blk, blk, blk],
+        interpret=interpret,
+    )(q, k, v, kb, go)
+    return dq, dk, dv, None
+
+
+_packed_mha_level.defvjp(_pmha_fwd, _pmha_bwd)
+
+
+def packed_window_mha(q, k, v, valid, ts, nhead, interpret: bool = False):
+    """Multi-head attention over the packed 128-token block stream, fused
+    per level (Pallas TPU kernel; logits/probabilities never leave VMEM).
+
+    Blocks of equal sub-window size are contiguous in the packed stream
+    (one run per drop level), so each run gets its own pallas_call with a
+    STATIC sub-window size.
+
+    Args:
+        q, k, v: (B, S_tot, C) projected tokens (cosine scaling already
+            folded into q); C == nhead * head_dim.
+        valid: (B, S_tot) bool key mask.
+        ts: static tuple, sub-window size per 128-token block.
+        nhead: static head count.
+    Returns:
+        (B, S_tot, C) attention output (rows with invalid queries are
+        garbage — callers mask, as with the other paths).
+    """
+    b, s_tot, c = q.shape
+    blk = 128
+    kb_full = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+    outs = []
+    start = 0
+    i = 0
+    while i < len(ts):
+        j = i
+        while j < len(ts) and ts[j] == ts[i]:
+            j += 1
+        nblk = j - i
+        sl = slice(start, start + nblk * blk)
+
+        def shape(x):
+            return x[:, sl].reshape(b * nblk, blk, c)
+
+        kb = kb_full[:, sl].reshape(b * nblk, 1, blk)
+        o = _packed_mha_level(
+            shape(q), shape(k), shape(v), kb, nhead, int(ts[i]), interpret)
+        outs.append(o.reshape(b, nblk * blk, c))
+        start += nblk * blk
+        i = j
+    return jnp.concatenate(outs, axis=1)
+
+
 def biased_window_attention(q, k, v, valid, bias):
     """Attention over packed 128-token blocks with an additive per-block
     bias carrying the sub-window block-diagonal structure.

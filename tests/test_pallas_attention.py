@@ -79,3 +79,79 @@ def test_blocked_matches_reference():
         m = np.asarray(valid)[:, :, None, :, None]
         np.testing.assert_allclose(np.asarray(got) * m, np.asarray(ref) * m,
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_packed_mha_matches_biased_reference():
+    from gdmae_tpu.ops.pallas.window_attention import (
+        biased_window_attention, packed_window_mha)
+    from gdmae_tpu.ops import window as W
+
+    rng = np.random.RandomState(7)
+    b, c, h = 2, 64, 4
+    ts = (16,) * 2 + (32,) * 2 + (64,) * 2  # mixed levels, 6 blocks
+    s_tot = len(ts) * 128
+    q = jnp.asarray(rng.randn(b, s_tot, c).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s_tot, c).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s_tot, c).astype(np.float32))
+    valid = jnp.asarray(rng.rand(b, s_tot) > 0.3)
+    # keep one valid key per sub-window to avoid all-masked softmax rows
+    valid = valid.reshape(b, -1, 16).at[..., 0].set(True).reshape(b, s_tot)
+
+    got = packed_window_mha(q, k, v, valid, ts, h, interpret=True)
+
+    nb = len(ts)
+    hd = c // h
+
+    def heads(x):
+        return jnp.moveaxis(x.reshape(b, nb, 128, h, hd), -2, -3)
+
+    bias = W.packed_block_bias(ts)
+    ref = biased_window_attention(
+        heads(q), heads(k), heads(v), valid.reshape(b, nb, 128), bias)
+    ref = jnp.moveaxis(ref, -3, -2).reshape(b, s_tot, c)
+
+    m = np.asarray(valid)[..., None]
+    np.testing.assert_allclose(np.asarray(got) * m, np.asarray(ref) * m,
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_packed_mha_gradients_match():
+    from gdmae_tpu.ops.pallas.window_attention import (
+        biased_window_attention, packed_window_mha)
+    from gdmae_tpu.ops import window as W
+
+    rng = np.random.RandomState(8)
+    b, c, h = 1, 32, 2
+    ts = (16,) + (32,)
+    s_tot = len(ts) * 128
+    q = jnp.asarray(rng.randn(b, s_tot, c).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s_tot, c).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s_tot, c).astype(np.float32))
+    valid = jnp.asarray(rng.rand(b, s_tot) > 0.3)
+    valid = valid.reshape(b, -1, 16).at[..., 0].set(True).reshape(b, s_tot)
+    tgt = jnp.asarray(rng.randn(b, s_tot, c).astype(np.float32))
+    wm = valid[..., None].astype(jnp.float32)
+
+    nb = len(ts)
+    hd = c // h
+
+    def heads(x):
+        return jnp.moveaxis(x.reshape(b, nb, 128, h, hd), -2, -3)
+
+    bias = W.packed_block_bias(ts)
+
+    def loss_ref(q, k, v):
+        r = biased_window_attention(
+            heads(q), heads(k), heads(v), valid.reshape(b, nb, 128), bias)
+        r = jnp.moveaxis(r, -3, -2).reshape(b, s_tot, c)
+        return jnp.sum(((r - tgt) * wm) ** 2)
+
+    def loss_packed(q, k, v):
+        r = packed_window_mha(q, k, v, valid, ts, h, interpret=True)
+        return jnp.sum(((r - tgt) * wm) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-4, atol=2e-4)

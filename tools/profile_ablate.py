@@ -139,6 +139,16 @@ def main():
         cfg.MODEL.BACKBONE_3D.TPU_SPARSE_CONV = True
     elif variant == "nofuseremat":
         cfg.MODEL.BACKBONE_3D.TPU_REMAT_FUSE = False
+    elif variant == "conv1x1":
+        # shrink every ConvBNReLU to a 1x1 kernel (stride kept): measures
+        # the 3x3 dense conv cost in the SST stages
+        from gdmae_tpu.models.model_utils import blocks as blocks_mod
+        orig_call = blocks_mod.ConvBNReLU.__call__
+
+        def call_1x1(self, x, occ_out=None, train=True):
+            object.__setattr__(self, "kernel", 1)
+            return orig_call(self, x, occ_out=occ_out, train=train)
+        blocks_mod.ConvBNReLU.__call__ = call_1x1
     elif variant == "nobn":
         from gdmae_tpu.models.model_utils import blocks as blocks_mod
         from flax import linen as fnn
@@ -182,10 +192,28 @@ def main():
     state, metrics = step(state, batch, key)
     float(jnp.sum(metrics["loss"]))
 
+    # contention probe: a fixed 8k^3 bf16 matmul (~5.6 ms at 197 TFLOP/s).
+    # The tunneled chip is time-shared and can quantize step times under
+    # load — an inflated probe marks the window as untrustworthy.
+    pa = jnp.ones((8192, 8192), jnp.bfloat16)
+
+    @jax.jit
+    def probe(x):
+        return x @ x
+
+    float(jnp.sum(probe(pa).astype(jnp.float32)))
+
+    def probe_ms():
+        t0 = time.perf_counter()
+        float(jnp.sum(probe(pa).astype(jnp.float32)))
+        return (time.perf_counter() - t0) * 1e3
+
     iters = 8 if on_tpu else 2
     windows = 6 if on_tpu else 1
     best = float("inf")
+    best_probe = float("inf")
     for w in range(windows):
+        best_probe = min(best_probe, probe_ms())
         t0 = time.perf_counter()
         for i in range(iters):
             state, metrics = step(
@@ -198,6 +226,7 @@ def main():
         "variant": variant, "batch": batch_size,
         "ms_per_step": round(ms, 1),
         "scans_per_sec": round(batch_size * iters / best, 2),
+        "probe_ms": round(best_probe, 2),
     }), flush=True)
 
 
