@@ -93,8 +93,10 @@ class CosineMultiheadAttention(nn.Module):
 
         if block_ts is not None:
             b, nb = lead
+            # the Pallas kernel measured ~par with (not yet faster than)
+            # the XLA biased-einsum path on v5e, so it stays opt-in
             if jax.devices()[0].platform != "cpu" and t == 128 and \
-                    not os.environ.get("GDMAE_NO_PALLAS_PACKED"):
+                    os.environ.get("GDMAE_PALLAS_PACKED"):
                 out = packed_window_mha(
                     q.reshape(b, nb * t, c), k.reshape(b, nb * t, c),
                     vv.reshape(b, nb * t, c), valid.reshape(b, nb * t),

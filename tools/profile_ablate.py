@@ -195,18 +195,22 @@ def main():
     # contention probe: a fixed 8k^3 bf16 matmul (~5.6 ms at 197 TFLOP/s).
     # The tunneled chip is time-shared and can quantize step times under
     # load — an inflated probe marks the window as untrustworthy.
-    pa = jnp.ones((8192, 8192), jnp.bfloat16)
+    pa = jnp.full((8192, 8192), 0.01, jnp.bfloat16)
 
     @jax.jit
     def probe(x):
-        return x @ x
+        # 8 chained matmuls in one dispatch: amortizes the ~29 ms tunnel
+        # round-trip so the reading reflects device speed, not latency
+        for _ in range(8):
+            x = (x @ x) * 1e-4 + 0.01
+        return x
 
     float(jnp.sum(probe(pa).astype(jnp.float32)))
 
     def probe_ms():
         t0 = time.perf_counter()
         float(jnp.sum(probe(pa).astype(jnp.float32)))
-        return (time.perf_counter() - t0) * 1e3
+        return (time.perf_counter() - t0) * 1e3 / 8.0
 
     iters = 8 if on_tpu else 2
     windows = 6 if on_tpu else 1
