@@ -38,6 +38,7 @@ sys.path.insert(0, str(REPO))
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "full"
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    variants = set(variant.split("+"))  # combine with '+', e.g. novfe+noattn
 
     import jax
     import jax.numpy as jnp
@@ -70,7 +71,7 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     # ---- apply ablation patches ----
-    if variant == "noloss":
+    if "noloss" in variants:
         def fake_chamfer(pred, gt, pred_mask=None, gt_mask=None, weights=None):
             return jnp.mean(pred.astype(jnp.float32) ** 2)
         loss_utils.chamfer_distance = fake_chamfer
@@ -81,7 +82,7 @@ def main():
             z = jnp.zeros((m, k, c), values.dtype) + values[0] * 1e-30
             return z, jnp.zeros((m, k), bool)
         scatter_ops.group_points_padded = fake_group
-    elif variant == "nofuse":
+    if "nofuse" in variants:
         class Fuse1x1(nn.Module):
             fuse_cfg: object
             sources: object
@@ -96,11 +97,11 @@ def main():
                 return nn.Conv(out_ch, (1, 1), dtype=self.dtype,
                                name="stub")(feature_maps[self.sources[0]])
         spt_mod.DeconvFuse = Fuse1x1
-    elif variant == "noattn":
+    if "noattn" in variants:
         cfg.MODEL.BACKBONE_3D.TPU_ABLATE = ["attn"]
-    elif variant == "noplans":
+    if "noplans" in variants:
         cfg.MODEL.BACKBONE_3D.TPU_ABLATE = ["plans"]
-    elif variant == "novfe":
+    if "novfe" in variants:
         def stub_call(self, batch_dict, train=True):
             points = batch_dict["points"]
             b, n, _ = points.shape
@@ -135,11 +136,11 @@ def main():
             batch_dict["pillarize_result"] = res
             return batch_dict
         dyn_vfe_mod.DynVFE.__call__ = stub_call
-    elif variant == "sparseconv":
+    if "sparseconv" in variants:
         cfg.MODEL.BACKBONE_3D.TPU_SPARSE_CONV = True
-    elif variant == "nofuseremat":
+    if "nofuseremat" in variants:
         cfg.MODEL.BACKBONE_3D.TPU_REMAT_FUSE = False
-    elif variant == "conv1x1":
+    if "conv1x1" in variants:
         # shrink every ConvBNReLU to a 1x1 kernel (stride kept): measures
         # the 3x3 dense conv cost in the SST stages
         from gdmae_tpu.models.model_utils import blocks as blocks_mod
@@ -149,7 +150,7 @@ def main():
             object.__setattr__(self, "kernel", 1)
             return orig_call(self, x, occ_out=occ_out, train=train)
         blocks_mod.ConvBNReLU.__call__ = call_1x1
-    elif variant == "nobn":
+    if "nobn" in variants:
         from gdmae_tpu.models.model_utils import blocks as blocks_mod
         from flax import linen as fnn
 
@@ -158,15 +159,20 @@ def main():
             # @compact method, so no self.param here)
             return x.astype(self.dtype)
         blocks_mod.MaskedBatchNorm.__call__ = bn_stub
-    elif variant == "nomask":
+    if "nomask" in variants:
         def fake_masking(key, valid_mask, mask_ratio):
             m = valid_mask.shape[0]
             keep_every = max(1, int(round(1.0 / (1.0 - mask_ratio))))
             keep = (jnp.arange(m) % keep_every == 0) & valid_mask
             return jnp.where(keep, 0.0, 1.0) + 0.0 * jax.random.uniform(key, ())
         scatter_ops.random_masking = fake_masking
-    elif variant not in ("full", "sgd"):
-        raise SystemExit(f"unknown variant {variant}")
+    if "densewin" in variants:
+        cfg.MODEL.BACKBONE_3D.TPU_WINDOW_MODE = "dense"
+    known = {"full", "sgd", "noloss", "nofuse", "noattn", "noplans", "novfe",
+             "sparseconv", "nofuseremat", "conv1x1", "nobn", "nomask",
+             "densewin"}
+    if variants - known:
+        raise SystemExit(f"unknown variants {variants - known}")
 
     model = build_network(cfg.MODEL, num_class=3, dataset=meta, dtype=dtype)
     rng = np.random.RandomState(0)
@@ -181,7 +187,7 @@ def main():
         "point_mask": jnp.ones((batch_size, n), bool),
     }
     params, batch_stats = train_lib.init_model(model, batch, seed=0)
-    if variant == "sgd":
+    if "sgd" in variants:
         import optax
         tx = optax.sgd(0.01)
     else:

@@ -165,11 +165,14 @@ def main():
             data_time = time.perf_counter() - t_end
             key, sub = jax.random.split(key)
             state, metrics = pstep(state, device_batch, sub)
-            loss = float(metrics["loss"])
+            # NO per-iter readback: a float() here would fence the device
+            # every step and serialize the host pipeline against compute.
+            # Metrics are only pulled at log points.
             batch_time = time.perf_counter() - t_end
             t_end = time.perf_counter()
             meter.update(batch_time)
             if it % 20 == 0:
+                loss = float(metrics["loss"])
                 cur_lr = float(lr_fn(int(state.step)))
                 logger.info(
                     "epoch %d iter %d/%d loss=%.4f lr=%.2e d_time=%.2fs "
