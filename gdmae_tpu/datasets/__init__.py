@@ -11,11 +11,13 @@ from functools import partial
 from .dataset import DatasetTemplate
 from .kitti.kitti_dataset import KittiDataset
 from .kitti360.kitti360_dataset import Kitti360Dataset
+from .synthetic import SyntheticDataset
 
 __all__ = {
     "DatasetTemplate": DatasetTemplate,
     "KittiDataset": KittiDataset,
     "Kitti360Dataset": Kitti360Dataset,
+    "SyntheticDataset": SyntheticDataset,
 }
 
 

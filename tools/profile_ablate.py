@@ -168,9 +168,52 @@ def main():
         scatter_ops.random_masking = fake_masking
     if "densewin" in variants:
         cfg.MODEL.BACKBONE_3D.TPU_WINDOW_MODE = "dense"
+    if "noconv" in variants:
+        # submanifold convs become (masked) identity where shapes permit:
+        # measures the dense conv+BN cost itself (combine with noplans so
+        # occupancy fakery elsewhere cannot skew plan work)
+        from gdmae_tpu.models.model_utils import blocks as blocks_mod
+        orig_conv = blocks_mod.ConvBNReLU.__call__
+
+        def conv_stub(self, x, occ_out=None, train=True):
+            if self.stride == 1 and x.shape[-1] == self.features:
+                if occ_out is not None:
+                    return x * occ_out.astype(x.dtype)[..., None]
+                return x
+            return orig_conv(self, x, occ_out=occ_out, train=train)
+        blocks_mod.ConvBNReLU.__call__ = conv_stub
+    if "nocanvas" in variants:
+        # canvas scatter/gather + occupancy builds become cheap broadcasts
+        # (combine with noplans: the all-true fake occupancy would inflate
+        # bucket plans)
+        from gdmae_tpu.models.backbones_3d import spt_backbone as spt_mod2
+        from gdmae_tpu.ops import window as window_mod
+
+        def fake_scatter(pf, coords, mask, grid_hw, sorted_cells=True):
+            b, m, c = pf.shape
+            ny, nx = grid_hw
+            dep = (jnp.sum(pf.astype(jnp.float32))
+                   + jnp.sum(coords) * 1e-30) * 1e-30
+            canvas = jnp.zeros((b, ny, nx, c), pf.dtype) + dep.astype(pf.dtype)
+            return canvas, jnp.ones((b, ny, nx), bool)
+
+        def fake_gather(canvas, coords, grid_hw, mask=None):
+            b, m, _ = coords.shape
+            c = canvas.shape[-1]
+            dep = jnp.mean(canvas.astype(jnp.float32)) * 1e-30
+            return jnp.zeros((b, m, c), canvas.dtype) + dep.astype(canvas.dtype)
+
+        def fake_occ(coords, mask, grid_hw, sorted_cells=True):
+            b = coords.shape[0]
+            ny, nx = grid_hw
+            return jnp.ones((b, ny, nx), bool)
+
+        spt_mod2.scatter_pillars_to_canvas = fake_scatter
+        spt_mod2.gather_canvas_at = fake_gather
+        window_mod.occupancy_from_coords = fake_occ
     known = {"full", "sgd", "noloss", "nofuse", "noattn", "noplans", "novfe",
              "sparseconv", "nofuseremat", "conv1x1", "nobn", "nomask",
-             "densewin"}
+             "densewin", "noconv", "nocanvas"}
     if variants - known:
         raise SystemExit(f"unknown variants {variants - known}")
 

@@ -39,6 +39,9 @@ def parse_config():
     parser.add_argument("--fix_random_seed", action="store_true")
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
     parser.add_argument("--ckpt_save_interval", type=int, default=1)
+    parser.add_argument("--synthetic", type=int, default=0, metavar="N",
+                        help="train on N synthetic random scenes (no dataset "
+                             "files needed; drives the full pipeline)")
     parser.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER,
                         default=None)
     args = parser.parse_args()
@@ -89,6 +92,9 @@ def main():
         except ImportError:
             pass
 
+    if args.synthetic:
+        cfg_.DATA_CONFIG.DATASET = "SyntheticDataset"
+        cfg_.DATA_CONFIG.SYNTHETIC = {"NUM_SAMPLES": args.synthetic}
     data_path = Path(cfg_.DATA_CONFIG.DATA_PATH)
     if not data_path.is_absolute():
         data_path = (REPO / "tools" / data_path).resolve()
