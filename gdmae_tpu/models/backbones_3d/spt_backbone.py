@@ -43,44 +43,47 @@ def _place_impl(pillar_features, inv):
     return jnp.take_along_axis(feats_pad, inv[..., None], axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _canvas_gather_p(canvas_flat, coords, mask, grid_hw):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _canvas_gather_p(canvas_flat, coords, mask, inv, grid_hw):
     ny, nx = grid_hw
     idx = (coords[..., 0] * nx + coords[..., 1]).clip(0, ny * nx - 1)
     out = jnp.take_along_axis(canvas_flat, idx[..., None], axis=1)
     return out * mask[..., None].astype(out.dtype)
 
 
-def _cg_fwd(canvas_flat, coords, mask, grid_hw):
-    return (_canvas_gather_p(canvas_flat, coords, mask, grid_hw),
-            (coords, mask, canvas_flat.shape))
+def _cg_fwd(canvas_flat, coords, mask, inv, grid_hw):
+    return (_canvas_gather_p(canvas_flat, coords, mask, inv, grid_hw),
+            (mask, inv))
 
 
 def _cg_bwd(grid_hw, res, g):
     # token coords are unique per sample, so the transpose of the canvas
-    # gather is canvas PLACEMENT of the token grads (binary search + gather,
-    # no scatter-add)
-    coords, mask, (b, ncell, c) = res
-    ny, nx = grid_hw
+    # gather is canvas PLACEMENT of the token grads through the saved
+    # cell->token map (pure gather, no scatter-add)
+    mask, inv = res
     g = g * mask[..., None].astype(g.dtype)
-    inv = window_ops.build_cell2tok(coords, mask, (ny, nx))
     gcanvas = _place_impl(g, inv)
-    return (gcanvas, None, None)
+    return (gcanvas, None, None, None)
 
 
 _canvas_gather_p.defvjp(_cg_fwd, _cg_bwd)
 
 
-def gather_canvas_at(canvas, coords, grid_hw, mask=None):
+def gather_canvas_at(canvas, coords, grid_hw, mask=None, cell2tok=None):
     """canvas (B, Ny, Nx, C) sampled at per-sample (M, 2) [iy, ix] coords.
 
     With ``mask`` (raster-sorted coords required) both VJP directions are
-    pure gathers; without it JAX derives a scatter-add transpose."""
+    pure gathers; without it JAX derives a scatter-add transpose.
+    ``cell2tok`` — optional precomputed map from
+    :func:`ops.window.build_cell2tok` (rebuilt otherwise; each build is a
+    canvas-wide int scatter, so callers thread one per stage)."""
     ny, nx = grid_hw
     b, m, _ = coords.shape
     flat = canvas.reshape(b, ny * nx, -1)
     if mask is not None:
-        return _canvas_gather_p(flat, coords, mask, (ny, nx))
+        if cell2tok is None:
+            cell2tok = window_ops.build_cell2tok(coords, mask, (ny, nx))
+        return _canvas_gather_p(flat, coords, mask, cell2tok, (ny, nx))
     idx = (coords[..., 0] * nx + coords[..., 1]).clip(0, ny * nx - 1)
     return jnp.take_along_axis(flat, idx[..., None], axis=1)
 
@@ -111,20 +114,22 @@ _canvas_place_p.defvjp(_cp_fwd, _cp_bwd)
 
 
 def scatter_pillars_to_canvas(pillar_features, pillar_coords, pillar_mask,
-                              grid_hw, sorted_cells: bool = True):
+                              grid_hw, sorted_cells: bool = True,
+                              cell2tok=None, tok_cell=None):
     """(B, M, C) pillar list -> (B, Ny, Nx, C) canvas + (B, Ny, Nx) occupancy.
 
     The C-wide feature placement is a pure gather through the cell->token
-    index (binary search over the raster-sorted pillar cells — every token
-    list in the pipeline is raster-ordered; TPU scatters serialize, gathers
-    and searchsorted don't), and the VJP is a gather at the token coords.
-    Pass ``sorted_cells=False`` for arbitrary coordinate order."""
+    index, and the VJP is a gather at the token coords (TPU scatters of
+    wide rows serialize).  Pass ``sorted_cells=False`` for arbitrary
+    coordinate order; thread precomputed ``cell2tok``/``tok_cell`` maps to
+    avoid rebuilding them (one canvas-wide int scatter each)."""
     b, m, c = pillar_features.shape
     ny, nx = grid_hw
-    inv = window_ops.build_cell2tok(
+    inv = cell2tok if cell2tok is not None else window_ops.build_cell2tok(
         pillar_coords, pillar_mask, (ny, nx), sorted_cells=sorted_cells)
     occ = (inv < m).reshape(b, ny, nx)
-    tok_flat = window_ops.token_cell_index(pillar_coords, pillar_mask, (ny, nx))
+    tok_flat = tok_cell if tok_cell is not None else \
+        window_ops.token_cell_index(pillar_coords, pillar_mask, (ny, nx))
     canvas = _canvas_place_p(pillar_features, inv, tok_flat, (ny, nx))
     return canvas.reshape(b, ny, nx, c), occ
 
@@ -157,12 +162,15 @@ class SSTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, coords, mask, occ, canvas_in=None,
-                 train: bool = True):
+                 cell2tok_in=None, train: bool = True):
         """tokens (B, M, C); coords (B, M, 2) on the input grid; mask (B, M);
-        occ (B, Ny, Nx).  Returns (tokens, coords, mask, occ, canvas_out)
-        on the stage's output grid.  In ``dense`` window mode the stage is
-        canvas-resident: tokens/coords/mask may be ``None`` when
-        ``canvas_in`` is given, and ``None`` is returned for them."""
+        occ (B, Ny, Nx).  Returns (tokens, coords, mask, occ, canvas_out,
+        cell2tok) on the stage's output grid — the cell->token map is built
+        ONCE per stage and threaded through every canvas scatter/gather and
+        the window plans (each rebuild is a canvas-wide int scatter).  In
+        ``dense`` window mode the stage is canvas-resident: tokens/coords/
+        mask may be ``None`` when ``canvas_in`` is given, and ``None`` is
+        returned for them."""
         blk = as_easy(self.block_cfg)
         enc = blk.ENCODER
         pre = blk.PREPROCESS
@@ -171,7 +179,7 @@ class SSTBlock(nn.Module):
         ny, nx = self.grid_hw
         if self.window_mode == "dense":
             return self._call_dense(
-                blk, tokens, coords, mask, occ, canvas_in, train)
+                blk, tokens, coords, mask, occ, canvas_in, train) + (None,)
         b, m, _ = tokens.shape
 
         if stride > 1:
@@ -179,8 +187,11 @@ class SSTBlock(nn.Module):
             ny2, nx2 = occ_out.shape[1], occ_out.shape[2]
             cap = self.token_cap_out or min(ny2 * nx2, 4 * m)
             coords_out, mask_out = window_ops.compact_occupancy(occ_out, cap)
+            c2t_out = window_ops.build_cell2tok(
+                coords_out, mask_out, (ny2, nx2))
             if self.sparse_conv:
-                c2t_in = window_ops.build_cell2tok(coords, mask, (ny, nx))
+                c2t_in = cell2tok_in if cell2tok_in is not None else \
+                    window_ops.build_cell2tok(coords, mask, (ny, nx))
                 tokens = TokenConvBNReLU(
                     d_model, kernel=3, stride=stride, dtype=self.dtype,
                     name="conv_down",
@@ -189,14 +200,16 @@ class SSTBlock(nn.Module):
             else:
                 if canvas_in is None:
                     canvas_in, _ = scatter_pillars_to_canvas(
-                        tokens, coords, mask, (ny, nx))
+                        tokens, coords, mask, (ny, nx), cell2tok=cell2tok_in)
                 canvas = ConvBNReLU(
                     d_model, kernel=3, stride=stride, dtype=self.dtype,
                     name="conv_down",
                 )(canvas_in, occ_out=occ_out, train=train)
                 tokens = gather_canvas_at(
-                    canvas, coords_out, (ny2, nx2), mask=mask_out)
+                    canvas, coords_out, (ny2, nx2), mask=mask_out,
+                    cell2tok=c2t_out)
             coords, mask, occ = coords_out, mask_out, occ_out
+            cell2tok_in = c2t_out
             ny, nx = ny2, nx2
             m = tokens.shape[1]
 
@@ -204,7 +217,8 @@ class SSTBlock(nn.Module):
         drop_specs = window_ops.drop_specs_from_cfg(
             pre.DROP_INFO["train" if train else "test"]
         )
-        c2t = window_ops.build_cell2tok(coords, mask, (ny, nx))
+        c2t = cell2tok_in if cell2tok_in is not None else \
+            window_ops.build_cell2tok(coords, mask, (ny, nx))
         tcell = window_ops.token_cell_index(coords, mask, (ny, nx))
         if "plans" in self.ablate:
             plans = None
@@ -280,15 +294,16 @@ class SSTBlock(nn.Module):
             )(tokens, c2t, (ny, nx), coords, mask,
               coords_in=coords, mask_in=mask, train=train)
             canvas_out, _ = scatter_pillars_to_canvas(
-                tokens, coords, mask, (ny, nx))
+                tokens, coords, mask, (ny, nx), cell2tok=c2t, tok_cell=tcell)
         else:
             canvas_mid, _ = scatter_pillars_to_canvas(
-                tokens, coords, mask, (ny, nx))
+                tokens, coords, mask, (ny, nx), cell2tok=c2t, tok_cell=tcell)
             canvas_out = ConvBNReLU(
                 d_model, kernel=3, dtype=self.dtype, name="conv_out",
             )(canvas_mid, occ_out=occ, train=train)
-            tokens = gather_canvas_at(canvas_out, coords, (ny, nx), mask=mask)
-        return tokens, coords, mask, occ, canvas_out
+            tokens = gather_canvas_at(canvas_out, coords, (ny, nx), mask=mask,
+                                      cell2tok=c2t)
+        return tokens, coords, mask, occ, canvas_out, c2t
 
     def _call_dense(self, blk, tokens, coords, mask, occ, canvas_in, train):
         """Canvas-resident stage (``TPU_WINDOW_MODE: dense``): masked dense
@@ -447,7 +462,10 @@ class SPTBackbone(nn.Module):
         tokens = batch_dict["pillar_features"].astype(self.dtype)
         coords = batch_dict["pillar_coords"]
         mask = batch_dict["pillar_mask"]
-        occ = window_ops.occupancy_from_coords(coords, mask, (ny, nx))
+        m = coords.shape[1]
+        # ONE cell->token build serves the entry occupancy and stage 1
+        c2t = window_ops.build_cell2tok(coords, mask, (ny, nx))
+        occ = (c2t < m).reshape(coords.shape[0], ny, nx)
 
         cfg = as_easy(self.model_cfg)
         grids = self.block_grids()
@@ -457,7 +475,7 @@ class SPTBackbone(nn.Module):
         stride = 1
         canvas = None
         for i, blk in enumerate(cfg.SST_BLOCK_LIST):
-            tokens, coords, mask, occ, canvas = SSTBlock(
+            tokens, coords, mask, occ, canvas, c2t = SSTBlock(
                 block_cfg=blk, grid_hw=grids[i], win_caps=caps[i],
                 token_cap_out=int(tok_caps[i]) if tok_caps is not None else 0,
                 sparse_conv=bool(cfg.get("TPU_SPARSE_CONV", False)),
@@ -465,7 +483,8 @@ class SPTBackbone(nn.Module):
                 window_mode=str(cfg.get("TPU_WINDOW_MODE", "bucket")),
                 ablate=tuple(cfg.get("TPU_ABLATE", ())),
                 dtype=self.dtype, name=f"sst_block_{i}",
-            )(tokens, coords, mask, occ, canvas_in=canvas, train=train)
+            )(tokens, coords, mask, occ, canvas_in=canvas, cell2tok_in=c2t,
+              train=train)
             stride *= int(blk.ENCODER.STRIDE)
             feature_maps[f"x_conv{i+1}"] = canvas
             occs[f"x_conv{i+1}"] = occ

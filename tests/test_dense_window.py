@@ -133,9 +133,9 @@ def test_sst_block_dense_mode_shapes():
                    window_mode="dense", remat=False)
     variables = blk.init(
         {"params": jax.random.PRNGKey(0)},
-        tokens, coords, mask, occ, None, False)
-    (t2, c2, m2, occ2, canvas2), _ = blk.apply(
-        variables, tokens, coords, mask, occ, None, False,
+        tokens, coords, mask, occ, None, train=False)
+    (t2, c2, m2, occ2, canvas2, _c2t), _ = blk.apply(
+        variables, tokens, coords, mask, occ, None, train=False,
         mutable=["batch_stats"])
     assert t2 is None and c2 is None and m2 is None
     assert occ2.shape == (2, 8, 12)
