@@ -33,11 +33,16 @@ def _box_corners_local(dx, dy):
 
 def _clip_halfplane(poly, count, axis, sign, bound):
     """Clip (8, 2) polygon with ``count`` valid verts against
-    sign * poly[axis] <= bound.  Returns new (8, 2) poly + count."""
+    sign * poly[axis] <= bound.  Returns new (8, 2) poly + count.
+
+    Entirely scatter/gather-free: vertex selection and compaction are
+    8x8 one-hot matmuls.  The vmapped tiny-scatter form (`.at[].set`
+    mode='drop' under a (N, M)-pair vmap) hard-crashed the TPU runtime
+    ("TPU worker process crashed", reproducible at 4096x4096)."""
     idx = jnp.arange(8)
     nxt = jnp.where(idx + 1 < count, idx + 1, 0)
     v = poly
-    w = poly[nxt]
+    w = (nxt[:, None] == idx[None, :]).astype(poly.dtype) @ poly  # poly[nxt]
     fv = sign * v[:, axis] - bound  # <= 0 means inside
     fw = sign * w[:, axis] - bound
     in_v = fv <= 0
@@ -53,11 +58,11 @@ def _clip_halfplane(poly, count, axis, sign, bound):
     offset = jnp.cumsum(n_emit) - n_emit
     new_count = jnp.sum(n_emit)
 
-    out = jnp.zeros_like(poly)
-    pos_v = jnp.where(emit_v, offset, 8)
-    out = out.at[pos_v].set(v, mode="drop")
+    pos_v = jnp.where(emit_v, offset, 8)  # 8 = dropped
     pos_i = jnp.where(emit_i, offset + emit_v.astype(jnp.int32), 8)
-    out = out.at[pos_i].set(inter, mode="drop")
+    sel_v = (idx[:, None] == pos_v[None, :]).astype(poly.dtype)  # (out, in)
+    sel_i = (idx[:, None] == pos_i[None, :]).astype(poly.dtype)
+    out = sel_v @ v + sel_i @ inter
     return out, new_count
 
 

@@ -39,6 +39,9 @@ def parse_config():
     parser.add_argument("--eval_tag", type=str, default="default")
     parser.add_argument("--start_epoch", type=int, default=0)
     parser.add_argument("--max_waiting_mins", type=int, default=30)
+    parser.add_argument("--synthetic", type=int, default=0, metavar="N",
+                        help="evaluate on N synthetic random scenes (no "
+                             "dataset files needed)")
     parser.add_argument("--fuse_conv_bn", action="store_true",
                         help="fold BatchNorm into preceding convs before eval "
                              "(reference eval_utils.py:40-41)")
@@ -147,6 +150,9 @@ def main():
     log_file = result_dir / f"log_eval_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt"
     logger = common_utils.create_logger(log_file)
 
+    if args.synthetic:
+        cfg_.DATA_CONFIG.DATASET = "SyntheticDataset"
+        cfg_.DATA_CONFIG.SYNTHETIC = {"NUM_SAMPLES": args.synthetic}
     data_path = Path(cfg_.DATA_CONFIG.DATA_PATH)
     if not data_path.is_absolute():
         data_path = (REPO / "tools" / data_path).resolve()
