@@ -54,9 +54,13 @@ def main():
     from gdmae_tpu.models.backbones_3d import spt_backbone as spt_mod
     from gdmae_tpu.models.vfe import dyn_vfe as dyn_vfe_mod
 
+    from tools.bench_common import synth_scan, window_caps_for
+
     cfg = cfg_from_yaml_file(str(REPO / "tools/cfgs/kitti_models/gd_mae_ssl.yaml"))
+    # same workload as bench.py: LiDAR-like scans + zero-overflow caps
     cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS = [
-        [160, 64, 32], [96, 48, 24], [64, 32, 16]]
+        list(c) for c in window_caps_for(
+            synth_scan(np.random.RandomState(0), 4, 16384))]
     cfg.MODEL.BACKBONE_3D.TPU_REMAT = False
     meta = DatasetMeta(
         class_names=cfg.CLASS_NAMES,
@@ -220,11 +224,7 @@ def main():
     model = build_network(cfg.MODEL, num_class=3, dataset=meta, dtype=dtype)
     rng = np.random.RandomState(0)
     n = meta.max_points
-    pts = np.zeros((batch_size, n, 4), np.float32)
-    pts[..., 0] = rng.uniform(0.5, 68.5, (batch_size, n))
-    pts[..., 1] = rng.uniform(-39, 39, (batch_size, n))
-    pts[..., 2] = rng.uniform(-2.5, 0.5, (batch_size, n))
-    pts[..., 3] = rng.uniform(0, 1, (batch_size, n))
+    pts = synth_scan(rng, batch_size, n)
     batch = {
         "points": jnp.asarray(pts),
         "point_mask": jnp.ones((batch_size, n), bool),
