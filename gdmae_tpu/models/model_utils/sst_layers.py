@@ -107,8 +107,9 @@ class CosineMultiheadAttention(nn.Module):
                 def heads(x):
                     return jnp.moveaxis(x.reshape(b, nb, t, h, hd), -2, -3)
 
-                out = jax.checkpoint(biased_window_attention)(
-                    heads(q), heads(k), heads(vv), valid, bias)
+                out = jax.checkpoint(
+                    biased_window_attention, static_argnums=(5,))(
+                    heads(q), heads(k), heads(vv), valid, bias, self.cosine)
                 out = jnp.moveaxis(out, -3, -2).reshape(b, nb, t, c)
             out = out.astype(self.dtype)
             out = nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
@@ -217,7 +218,8 @@ class BucketEncoderLayer(nn.Module):
 
 class DenseWindowShiftBlock(nn.Module):
     """Two encoder layers alternating shift0/shift1 over DENSE canvas
-    windows (``TPU_WINDOW_MODE: dense``, the default).
+    windows — opt-in via ``TPU_WINDOW_MODE: dense`` (SPTBackbone defaults
+    to ``bucket``).
 
     TPU-first re-design of the reference's drop-level bucketing
     (pcdet/models/backbones_3d/spt_backbone.py:32-104 ``drop_voxel`` +

@@ -371,25 +371,29 @@ def packed_window_mha(q, k, v, valid, ts, nhead, interpret: bool = False):
     return jnp.concatenate(outs, axis=1)
 
 
-def biased_window_attention(q, k, v, valid, bias):
+def biased_window_attention(q, k, v, valid, bias, cosine=True):
     """Attention over packed 128-token blocks with an additive per-block
     bias carrying the sub-window block-diagonal structure.
 
     The (B, NB, H, 128, 128) logits are the bandwidth hot spot (~80x off
-    the MXU roofline otherwise): they are kept in the INPUT dtype (bf16 on
-    TPU; cosine-attention logits are bounded by 1/tau_min so bf16's ~3
-    significant digits cover them), with the softmax still reduced in f32.
-    Measured 6.6 vs 8.1 ms per encoder layer fwd+bwd at MAE-bench shapes.
+    the MXU roofline otherwise): under cosine attention they are kept in
+    the INPUT dtype (bf16 on TPU; cosine logits are bounded by 1/tau_min so
+    bf16's ~3 significant digits cover them), with the softmax still
+    reduced in f32.  Measured 6.6 vs 8.1 ms per encoder layer fwd+bwd at
+    MAE-bench shapes.  With ``cosine=False`` raw qk logits are unbounded,
+    so f32 logits are forced regardless of input dtype.
 
     Args:
         q, k, v: (B, NB, H, T, D) packed blocks (T = 128).
         valid: (B, NB, T) key-padding mask.
         bias: (NB, T, T) f32 additive bias (0 inside each sub-window,
             -1e9 across sub-windows; :func:`ops.window.packed_block_bias`).
+        cosine: static; True when q/k are L2-normalized cosine-attention
+            projections (bounded logits — bf16 is safe).
     Returns:
         (B, NB, H, T, D).
     """
-    ldt = q.dtype if q.dtype == jnp.bfloat16 else jnp.float32
+    ldt = q.dtype if (cosine and q.dtype == jnp.bfloat16) else jnp.float32
     logits = jnp.einsum("bnhtd,bnhsd->bnhts", q, k,
                         preferred_element_type=ldt)
     logits = logits + bias[None, :, None].astype(ldt)

@@ -395,7 +395,10 @@ def plan_block_ts(plan: BucketPlan, block: int = 128):
     ts = []
     for s in plan.tok_src:
         _, w, t = s.shape
-        if (w * t) % block:
+        # The packed path assumes every `block`-wide tile is an integer
+        # number of whole T-sub-windows: require T | block (so sub-windows
+        # never straddle a tile boundary) in addition to block | W*T.
+        if (w * t) % block or t > block or block % t:
             return None
         ts.extend([t] * ((w * t) // block))
     return tuple(ts)

@@ -217,9 +217,9 @@ def main():
     if record_file.exists():
         evaluated = set(record_file.read_text().split())
     try:
-        from gdmae_tpu.runtime.summary import SummaryWriter
-        tb = SummaryWriter(result_dir / "tensorboard_val")
-    except Exception:
+        from tensorboardX import SummaryWriter
+        tb = SummaryWriter(str(result_dir / "tensorboard_val"))
+    except ImportError:
         tb = None
     wait_s = 0.0
     while True:
