@@ -85,12 +85,27 @@ def is_main_process() -> bool:
 
 def all_gather_object(obj):
     """Gather arbitrary picklable objects from every process (reference
-    commu_utils.all_gather:50-111).  Single-process: [obj]."""
+    commu_utils.all_gather:50-111).  Single-process: [obj].
+
+    ``process_allgather`` only accepts (pytrees of) same-shape arrays, so —
+    like the reference's byte-tensor protocol — the object is pickled to a
+    uint8 buffer, padded to the max size across processes (gathered first),
+    gathered, and unpickled per process."""
     if get_world_size() == 1:
         return [obj]
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.process_allgather(obj, tiled=False))
+    buf = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray(buf.size, np.int64))  # (world,)
+    max_size = int(np.max(sizes))
+    padded = np.zeros((max_size,), np.uint8)
+    padded[:buf.size] = buf
+    gathered = multihost_utils.process_allgather(padded)  # (world, max_size)
+    return [pickle.loads(gathered[r, :int(sizes[r])].tobytes())
+            for r in range(get_world_size())]
 
 
 def average_reduce_value(value: float) -> float:

@@ -34,12 +34,22 @@ if os.environ.get("PALLAS_AXON_POOL_IPS"):
     env["JAX_PLATFORMS"] = "cpu"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+        flags += " --xla_force_host_platform_device_count=8"
+    if "xla_cpu_collective" not in flags:
+        # single-core host: 8-device shards execute serially, so the default
+        # 20s/40s CPU-collective rendezvous timeouts fire spuriously
+        flags += (" --xla_cpu_collective_timeout_seconds=1800"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
+    env["XLA_FLAGS"] = flags
     env.setdefault("JAX_ENABLE_X64", "0")
     os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective" not in flags:
+    flags += (" --xla_cpu_collective_timeout_seconds=1800"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
