@@ -8,6 +8,10 @@ from gdmae_tpu.config import EasyDict
 from gdmae_tpu.models.detectors.detector3d_template import DatasetMeta, build_network
 from gdmae_tpu.ops import centernet
 
+# full-model compiles: slow tier (deselect via pytest.ini addopts)
+pytestmark = pytest.mark.slow
+
+
 
 def center_model_cfg(with_iou=False):
     head_dict = {

@@ -1,0 +1,188 @@
+"""Build-and-step every shipped model YAML.
+
+The yaml schema is the public API (SURVEY §5): every config under
+tools/cfgs/**/ must parse, build via ``build_network``, and run
+forward + loss + grad (train) and the eval forward, on a shrunk synthetic
+scene.  This is the first-ever execution guarantee for the waymo / once
+graphs (gd_mae_iou, gd_mae_ts, graph_rcnn_ce, centerpoint, ...) including
+the image branch (graph_rcnn_voi).
+
+Capacity knobs (NMS K, RoI counts, DVS/FPS points, window caps) are cut to
+keep the single-core CPU compile tractable — shapes shrink, the module
+graph is exactly the shipped one.
+"""
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+# full-model compiles: slow tier (deselect via pytest.ini addopts)
+pytestmark = pytest.mark.slow
+
+from gdmae_tpu.config import EasyDict, cfg_from_yaml_file
+from gdmae_tpu.models.detectors.detector3d_template import (
+    DatasetMeta, build_network)
+
+REPO = Path(__file__).resolve().parent.parent
+CFG_DIR = REPO / "tools" / "cfgs"
+
+ALL_MODEL_YAMLS = sorted(
+    p.relative_to(CFG_DIR).as_posix()
+    for p in CFG_DIR.glob("*_models/*.yaml"))
+
+
+def _voxel_size_from_cfg(cfg):
+    for proc in cfg.DATA_CONFIG.get("DATA_PROCESSOR", []):
+        if proc.NAME in ("calculate_grid_size", "transform_points_to_voxels"):
+            return [float(v) for v in proc.VOXEL_SIZE]
+    return [0.32, 0.32, 6.0]
+
+
+def _shrink_capacities(node):
+    """Recursively cap the fixed-capacity knobs so CPU compiles stay small.
+
+    Structure (layer lists, widths, stage topology) is untouched."""
+    caps = {
+        "NMS_PRE_MAXSIZE": 128, "NMS_POST_MAXSIZE": 32,
+        "ROI_PER_IMAGE": 16, "NUM_DVS_POINTS": 64, "NUM_FPS_POINTS": 16,
+        "NUM_MAX_OBJS": 32, "MAX_OBJ_PER_SAMPLE": 32, "SAMPLE_SIZE": 128,
+        "NUM_BOXES_PER_PATCH": 16,
+    }
+
+    def cap(key, v):
+        lim = caps[key]
+        if isinstance(v, (list, tuple)):
+            return [min(int(x), lim) for x in v]
+        return min(int(v), lim)
+
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if k in caps:
+                node[k] = cap(k, v)
+            elif k == "TPU_WINDOW_CAPS":
+                node[k] = [[min(int(c), 64) for c in stage] for stage in v]
+            elif k == "NPOINTS":
+                node[k] = [[max(int(x) // 8, 16) for x in grp] for grp in v]
+            elif k == "SAMPLE_RANGE" and isinstance(v, list) and v and \
+                    isinstance(v[0], list) and isinstance(v[0][0], list):
+                node[k] = [[[int(x) // 8 for x in rng] for rng in grp]
+                           for grp in v]
+            elif k == "SAMPLE_RANGE" and isinstance(v, list) and v and \
+                    not isinstance(v[0], list):
+                node[k] = [int(x) // 8 for x in v]
+            else:
+                _shrink_capacities(v)
+    elif isinstance(node, (list, tuple)):
+        for v in node:
+            _shrink_capacities(v)
+    return node
+
+
+def _small_meta(cfg):
+    """Derive a tiny DatasetMeta consistent with the config's voxel size."""
+    vx, vy, vz = _voxel_size_from_cfg(cfg)
+    bb3d = cfg.MODEL.get("BACKBONE_3D", EasyDict({})).get("NAME", "")
+    if bb3d in ("VoxelBackBone8x", "VoxelResBackBone8x", "UNetV2"):
+        gx, gy, gz = 32, 32, 40
+        z0 = -3.0
+        grid = [gx, gy, gz]
+    else:
+        gx, gy = 64, 64
+        z0 = -2.0
+        gz = 1
+        grid = [gx, gy]
+    pc_range = [0.0, -gy / 2 * vy, z0, gx * vx, gy / 2 * vy, z0 + gz * vz]
+    return DatasetMeta(
+        class_names=list(cfg.CLASS_NAMES),
+        point_cloud_range=pc_range,
+        voxel_size=[vx, vy, vz],
+        grid_size=grid,
+        num_point_features=4,
+        max_points=2048,
+        max_pillars=1024,
+    )
+
+
+def _synth_batch(rng, meta, cfg, b=1, n=2048):
+    x0, y0, z0, x1, y1, z1 = meta.point_cloud_range
+    pts = np.zeros((b, n, 4), np.float32)
+    pts[..., 0] = rng.uniform(x0 + 0.1 * (x1 - x0), x1 - 0.1 * (x1 - x0), (b, n))
+    pts[..., 1] = rng.uniform(y0 + 0.1 * (y1 - y0), y1 - 0.1 * (y1 - y0), (b, n))
+    pts[..., 2] = rng.uniform(z0 + 0.1, min(z1 - 0.1, z0 + 2.5), (b, n))
+    pts[..., 3] = rng.uniform(0, 1, (b, n))
+    mask = np.ones((b, n), bool)
+    mask[:, -n // 16:] = False
+    num_cls = len(meta.class_names)
+    gt = np.zeros((b, 6, 8), np.float32)
+    for bi in range(b):
+        for gi in range(5):
+            cx = rng.uniform(x0 + 0.2 * (x1 - x0), x1 - 0.2 * (x1 - x0))
+            cy = rng.uniform(y0 + 0.2 * (y1 - y0), y1 - 0.2 * (y1 - y0))
+            sx = min(rng.uniform(1.5, 4.0), 0.4 * (x1 - x0))
+            sy = min(rng.uniform(1.4, 2.0), 0.4 * (y1 - y0))
+            gt[bi, gi] = [cx, cy, z0 + 1.0, sx, sy, 1.5,
+                          rng.uniform(-np.pi, np.pi),
+                          rng.randint(1, num_cls + 1)]
+    batch = {
+        "points": jnp.asarray(pts),
+        "point_mask": jnp.asarray(mask),
+        "gt_boxes": jnp.asarray(gt),
+    }
+    if cfg.MODEL.get("IMG_BACKBONE", None) is not None:
+        h, w = 64, 96
+        batch["image"] = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 3)),
+                                     jnp.float32)
+        # a plausible KITTI-style projection: cam looks down +x lidar
+        l2c = np.zeros((b, 4, 4), np.float32)
+        l2c[:, 0, 1] = -1.0   # cam x = -lidar y
+        l2c[:, 1, 2] = -1.0   # cam y = -lidar z
+        l2c[:, 2, 0] = 1.0    # cam z = lidar x
+        l2c[:, 3, 3] = 1.0
+        c2i = np.zeros((b, 3, 4), np.float32)
+        fx = 50.0
+        c2i[:, 0, 0] = fx
+        c2i[:, 1, 1] = fx
+        c2i[:, 0, 2] = w / 2
+        c2i[:, 1, 2] = h / 2
+        c2i[:, 2, 2] = 1.0
+        batch["trans_lidar_to_cam"] = jnp.asarray(l2c)
+        batch["trans_cam_to_img"] = jnp.asarray(c2i)
+    return batch
+
+
+@pytest.mark.parametrize("rel", ALL_MODEL_YAMLS)
+def test_build_and_step(rel):
+    cfg = cfg_from_yaml_file(str(CFG_DIR / rel))
+    _shrink_capacities(cfg.MODEL)
+    meta = _small_meta(cfg)
+    model = build_network(cfg.MODEL, num_class=len(meta.class_names),
+                          dataset=meta)
+    rng = np.random.RandomState(abs(hash(rel)) % (2 ** 31))
+    batch = _synth_batch(rng, meta, cfg)
+
+    rngs = {"params": jax.random.PRNGKey(0),
+            "mae_mask": jax.random.PRNGKey(1),
+            "proposal_sampler": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, batch, train=True)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, **{k: v for k, v in variables.items()
+                                  if k != "params"}},
+            batch, train=True,
+            rngs={"mae_mask": jax.random.PRNGKey(3),
+                  "proposal_sampler": jax.random.PRNGKey(4)},
+            mutable=[k for k in variables if k != "params"])
+        return out["loss"]
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss)), (rel, float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert leaves and all(np.all(np.isfinite(np.asarray(g))) for g in leaves), rel
+
+    out_eval = model.apply(variables, batch, train=False)
+    if cfg.MODEL.NAME != "GDMAE":  # pretraining-only: empty post-processing
+        assert "final_boxes" in out_eval, rel
+        assert np.all(np.isfinite(np.asarray(out_eval["final_boxes"]))), rel

@@ -14,6 +14,9 @@ from gdmae_tpu.ops import window as window_ops
 from gdmae_tpu.models.model_utils.sst_layers import (
     CanvasShiftBlock, DenseWindowShiftBlock)
 
+# full-model compiles: slow tier (deselect via pytest.ini addopts)
+pytestmark = pytest.mark.slow
+
 
 def _setup(b=2, grid=(16, 24), n_occ=40, c=32, seed=0):
     rng = np.random.RandomState(seed)

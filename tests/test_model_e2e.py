@@ -15,6 +15,10 @@ import jax.numpy as jnp
 from gdmae_tpu.config import cfg_from_yaml_file, EasyDict
 from gdmae_tpu.models.detectors.detector3d_template import DatasetMeta, build_network
 
+# full-model compiles: slow tier (deselect via pytest.ini addopts)
+pytestmark = pytest.mark.slow
+
+
 REPO = Path(__file__).resolve().parent.parent
 
 

@@ -12,6 +12,10 @@ from gdmae_tpu.runtime import optimization, train as train_lib
 from tests.test_center_head import center_model_cfg, small_meta, synth_batch
 from gdmae_tpu.models.detectors.detector3d_template import build_network
 
+# full-model compiles: slow tier (deselect via pytest.ini addopts)
+pytestmark = pytest.mark.slow
+
+
 
 def run_steps(model, batch, n_steps=12, needs_rngs=False):
     params, batch_stats = train_lib.init_model(model, batch)

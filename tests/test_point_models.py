@@ -5,6 +5,10 @@ import jax.numpy as jnp
 
 from gdmae_tpu.config import EasyDict
 from gdmae_tpu.models.detectors.detector3d_template import DatasetMeta, build_network
+import pytest
+# full-model compiles: slow tier (deselect via pytest.ini addopts)
+pytestmark = pytest.mark.slow
+
 
 
 def ssd3d_cfg():

@@ -9,6 +9,10 @@ from gdmae_tpu.config import EasyDict
 from gdmae_tpu.models.detectors.detector3d_template import DatasetMeta, build_network
 from tests.test_center_head import center_model_cfg, small_meta, synth_batch
 
+# full-model compiles: slow tier (deselect via pytest.ini addopts)
+pytestmark = pytest.mark.slow
+
+
 
 def two_stage_cfg():
     cfg = center_model_cfg(with_iou=False)
