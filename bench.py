@@ -53,8 +53,21 @@ def main():
 
     cap_rng = np.random.RandomState(0)
     cap_pts = synth_scan(cap_rng, 4, meta.max_points)
+    # pow2 packing: pad each window to next_pow2(kept) instead of the
+    # level's max_tokens (identical drop semantics, ~3x fewer padded
+    # tokens through the attention stream on this workload); opt-out
+    # via GDMAE_BENCH_PACK=0
+    pack = os.environ.get("GDMAE_BENCH_PACK", "1") != "0"
+    drop_specs = None
+    if pack:
+        from gdmae_tpu.ops import window as window_ops
+        cfg.MODEL.BACKBONE_3D.TPU_PACK_POW2 = True
+        drop_specs = window_ops.packing_specs(
+            window_ops.drop_specs_from_cfg(
+                cfg.MODEL.BACKBONE_3D.SST_BLOCK_LIST[0]
+                .PREPROCESS.DROP_INFO["train"]), 64)
     cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS = [
-        list(c) for c in window_caps_for(cap_pts)]
+        list(c) for c in window_caps_for(cap_pts, drop_specs=drop_specs)]
     print(f"window caps: {cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS}",
           file=sys.stderr, flush=True)
 

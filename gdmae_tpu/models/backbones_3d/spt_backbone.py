@@ -155,6 +155,9 @@ class SSTBlock(nn.Module):
     sparse_conv: bool = False
     remat: bool = True
     window_mode: str = "bucket"  # 'bucket' (compact drop-level rows) | 'dense'
+    # refine drop levels into pow2 packing sub-levels (TPU_PACK_POW2);
+    # win_caps must then have one entry per refined level
+    pack_pow2: bool = False
     # profiling-only ablations (TPU_ABLATE): 'attn' keeps the bucket plans
     # but skips the transformer math; 'plans' skips plan building too
     ablate: Tuple[str, ...] = ()
@@ -217,6 +220,14 @@ class SSTBlock(nn.Module):
         drop_specs = window_ops.drop_specs_from_cfg(
             pre.DROP_INFO["train" if train else "test"]
         )
+        if self.pack_pow2:
+            drop_specs = window_ops.packing_specs(
+                drop_specs, window[0] * window[1])
+        assert len(self.win_caps) == len(drop_specs), (
+            f"win_caps has {len(self.win_caps)} entries but the "
+            f"{'pow2-refined ' if self.pack_pow2 else ''}drop spec has "
+            f"{len(drop_specs)} levels — with TPU_PACK_POW2, "
+            f"TPU_WINDOW_CAPS must list one capacity per refined level")
         c2t = cell2tok_in if cell2tok_in is not None else \
             window_ops.build_cell2tok(coords, mask, (ny, nx))
         tcell = window_ops.token_cell_index(coords, mask, (ny, nx))
@@ -451,6 +462,9 @@ class SPTBackbone(nn.Module):
             ny, nx = -(-ny // s), -(-nx // s)
             drop_specs = window_ops.drop_specs_from_cfg(blk.PREPROCESS.DROP_INFO["train"])
             window = (int(blk.PREPROCESS.WINDOW_SHAPE[1]), int(blk.PREPROCESS.WINDOW_SHAPE[0]))
+            if bool(cfg.get("TPU_PACK_POW2", False)):
+                drop_specs = window_ops.packing_specs(
+                    drop_specs, window[0] * window[1])
             out.append(window_ops.default_win_caps(
                 (ny, nx), window, self.max_pillars, drop_specs))
         return out
@@ -481,6 +495,7 @@ class SPTBackbone(nn.Module):
                 sparse_conv=bool(cfg.get("TPU_SPARSE_CONV", False)),
                 remat=bool(cfg.get("TPU_REMAT", True)),
                 window_mode=str(cfg.get("TPU_WINDOW_MODE", "bucket")),
+                pack_pow2=bool(cfg.get("TPU_PACK_POW2", False)),
                 ablate=tuple(cfg.get("TPU_ABLATE", ())),
                 dtype=self.dtype, name=f"sst_block_{i}",
             )(tokens, coords, mask, occ, canvas_in=canvas, cell2tok_in=c2t,

@@ -1,0 +1,431 @@
+"""Reference torch-checkpoint import/export (shape-tolerant partial load).
+
+TPU-native equivalent of the reference's pretrained-weight flow
+(reference pcdet/models/detectors/detector3d_template.py:361-411
+``_load_state_dict`` / ``load_params_from_file``): published GD-MAE ``.pth``
+checkpoints (and the MAE pretrain -> detection fine-tune handoff of
+tools/scripts/dist_ssl_train.sh) load directly into the flax models here.
+
+The mapping is RULE-BASED over the flax param tree: every flax leaf path is
+translated to its reference state-dict name plus a layout transform
+(torch Linear/Conv2d/ConvTranspose2d/MHA layouts -> flax), so the import is
+total over the families it knows (gd_mae detection + MAE pretrain +
+CenterPoint-style heads) and degrades per-leaf, like the reference's
+shape-tolerant loader: a missing or shape-mismatched entry is skipped with
+a note, everything else loads.
+
+Layout transforms:
+  * torch ``Linear.weight`` (out, in)            -> flax ``kernel`` (in, out)
+  * torch ``Conv2d.weight`` (out, in, kh, kw)    -> flax (kh, kw, in, out)
+  * spconv2 ``weight`` (out, kh, kw, in)         -> flax (kh, kw, in, out)
+    (spconv1 checkpoints already store (kh, kw, in, out) — both accepted,
+    disambiguated by shape, mirroring the reference's spconv shim at
+    detector3d_template.py:368-379)
+  * torch ``ConvTranspose2d.weight`` (in, out, s, s) with kernel == stride
+    -> the DeconvFuse 1x1-conv relayout (1, 1, in, s*s*out) used by
+    models/backbones_3d/spt_backbone.py DeconvFuse (same function space;
+    see its docstring)
+  * torch MHA ``in_proj_weight`` (3c, c)         -> flax (c, 3c)
+  * BatchNorm ``weight/bias/running_mean/running_var``
+    -> params ``scale/bias`` + batch_stats ``mean/var``
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "load_torch_checkpoint", "import_torch_state", "export_torch_state",
+    "flax_to_torch_name",
+]
+
+
+# ---------------------------------------------------------------------------
+# name mapping
+# ---------------------------------------------------------------------------
+
+def _enc_suffix(rest: str) -> Optional[Tuple[str, str]]:
+    """shift_block_{b}/encoder_{j}/<leaf-path> -> reference encoder name."""
+    m = re.match(r"shift_block_(\d+)/encoder_(\d+)/(.*)$", rest)
+    if not m:
+        return None
+    b, j, tail = int(m.group(1)), int(m.group(2)), m.group(3)
+    base = f"encoder_blocks.{b}.encoder_list.{j}"
+    table = {
+        "win_attn/in_proj_weight": ("win_attn.self_attn.in_proj_weight", "t"),
+        "win_attn/in_proj_bias": ("win_attn.self_attn.in_proj_bias", ""),
+        "win_attn/tau": ("win_attn.self_attn.tau", "tau"),
+        "win_attn/out_proj/kernel": ("win_attn.self_attn.out_proj.weight", "t"),
+        "win_attn/out_proj/bias": ("win_attn.self_attn.out_proj.bias", ""),
+        "linear1/kernel": ("linear1.weight", "t"),
+        "linear1/bias": ("linear1.bias", ""),
+        "linear2/kernel": ("linear2.weight", "t"),
+        "linear2/bias": ("linear2.bias", ""),
+        "norm1/scale": ("norm1.weight", ""),
+        "norm1/bias": ("norm1.bias", ""),
+        "norm2/scale": ("norm2.weight", ""),
+        "norm2/bias": ("norm2.bias", ""),
+    }
+    if tail not in table:
+        return None
+    name, tf = table[tail]
+    return f"{base}.{name}", tf
+
+
+_BN_LEAF = {"scale": "weight", "bias": "bias", "mean": "running_mean",
+            "var": "running_var"}
+
+
+def _conv_bn_suffix(rest: str, torch_conv: str, torch_bn: str,
+                    conv_tf: str = "conv"):
+    """Match ``<flax-conv-or-bn leaf>`` of a ConvBNReLU / TokenConvBNReLU
+    (dense path nests Conv_0/MaskedBatchNorm_0; token path keeps a bare
+    ``kernel``)."""
+    if rest in ("Conv_0/kernel", "kernel"):
+        return torch_conv, conv_tf
+    m = re.match(r"MaskedBatchNorm_0/(scale|bias|mean|var)$", rest)
+    if m:
+        return f"{torch_bn}.{_BN_LEAF[m.group(1)]}", ""
+    return None
+
+
+def flax_to_torch_name(path: str, mae: bool = False):
+    """Translate one flax leaf path (``a/b/c`` form, params and batch_stats
+    alike) to ``(reference_state_dict_name, transform)`` or ``None`` when
+    the leaf has no reference counterpart.
+
+    ``mae``: the tree belongs to an MAE pretrain graph (SPTBackboneMAE) —
+    its fuse stack maps to ``decoder_deblocks``/``decoder_conv_out``
+    (reference spt_backbone_mae.py:31-52) instead of the detection
+    backbone's ``deblocks``/``conv_out`` (spt_backbone.py:287-303).
+    """
+    # ---- VFE ----
+    m = re.match(r"vfe/mlp(\d+)_(\d+)/(.*)$", path)
+    if m:
+        i, k, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        if rest == "Dense_0/kernel":
+            return f"vfe.dvfe_mlps.{i}.{3 * k}.weight", "t"
+        mm = re.match(r"MaskedBatchNorm_0/(scale|bias|mean|var)$", rest)
+        if mm:
+            return (f"vfe.dvfe_mlps.{i}.{3 * k + 1}."
+                    f"{_BN_LEAF[mm.group(1)]}"), ""
+        return None
+    m = re.match(r"vfe/agg_(\d+)/(.*)$", path)
+    if m:
+        k, rest = int(m.group(1)), m.group(2)
+        out = _conv_bn_suffix(rest, f"vfe.aggregation_mlp.{3 * k}.weight",
+                              f"vfe.aggregation_mlp.{3 * k + 1}", "t")
+        if out:
+            return out
+        if rest == "Dense_0/kernel":
+            return f"vfe.aggregation_mlp.{3 * k}.weight", "t"
+        return None
+
+    # ---- SPT backbone (detection AND MAE encoder) ----
+    m = re.match(r"backbone_3d/(?:encoder/)?sst_block_(\d+)/(.*)$", path)
+    if m:
+        i, rest = int(m.group(1)), m.group(2)
+        base = f"backbone_3d.sst_blocks.{i}"
+        for conv in ("conv_down", "conv_out"):
+            if rest.startswith(conv + "/"):
+                return _conv_bn_suffix(
+                    rest[len(conv) + 1:], f"{base}.{conv}.0.weight",
+                    f"{base}.{conv}.1", "spconv")
+        enc = _enc_suffix(rest)
+        if enc:
+            return f"{base}.{enc[0]}", enc[1]
+        return None
+
+    # ---- FPN fuse: detection deblocks / MAE generative decoder ----
+    m = re.match(r"backbone_3d/(encoder/)?fuse/(.*)$", path)
+    if m:
+        is_mae = mae or bool(m.group(1))
+        rest = m.group(2)
+        deb = "backbone_3d.decoder_deblocks" if is_mae else \
+            "backbone_3d.deblocks"
+        cout = "backbone_3d.decoder_conv_out" if is_mae else \
+            "backbone_3d.conv_out"
+        mm = re.match(r"deblock_(\d+)/kernel$", rest)
+        if mm:
+            return f"{deb}.{int(mm.group(1))}.0.weight", "deconv"
+        mm = re.match(r"deblock_bn_(\d+)/(scale|bias|mean|var)$", rest)
+        if mm:
+            return (f"{deb}.{int(mm.group(1))}.1."
+                    f"{_BN_LEAF[mm.group(2)]}"), ""
+        if rest == "conv_out/kernel":
+            return f"{cout}.0.weight", "conv"
+        mm = re.match(r"conv_out_bn/(scale|bias|mean|var)$", rest)
+        if mm:
+            return f"{cout}.1.{_BN_LEAF[mm.group(1)]}", ""
+        return None
+
+    # ---- MAE decoder head ----
+    m = re.match(r"backbone_3d/decoder_pred/(kernel|bias)$", path)
+    if m:
+        leaf = m.group(1)
+        return (f"backbone_3d.decoder_pred."
+                f"{'weight' if leaf == 'kernel' else 'bias'}",
+                "t" if leaf == "kernel" else "")
+
+    # ---- 2D BEV backbone (SSTBEVBackbone) ----
+    m = re.match(r"backbone_2d/conv_(\d+)/kernel$", path)
+    if m:
+        return f"backbone_2d.conv_layer.{int(m.group(1))}.0.weight", "conv"
+    m = re.match(r"backbone_2d/bn_(\d+)/(scale|bias|mean|var)$", path)
+    if m:
+        return (f"backbone_2d.conv_layer.{int(m.group(1))}.1."
+                f"{_BN_LEAF[m.group(2)]}"), ""
+
+    # ---- anchor heads (AnchorHeadSingle): 1x1 Conv2d with bias ----
+    m = re.match(r"dense_head/conv_(cls|box|dir_cls)/(kernel|bias)$", path)
+    if m:
+        head, leaf = m.group(1), m.group(2)
+        torch_leaf = "weight" if leaf == "kernel" else "bias"
+        return (f"dense_head.conv_{head}.{torch_leaf}",
+                "conv" if leaf == "kernel" else "")
+
+    # ---- CenterHead: shared conv + SeparateHead branches ----
+    # ours: dense_head/shared_conv/{Conv_0/kernel,MaskedBatchNorm_0/...} and
+    # dense_head/head_{g}/{name}_{k}/... ; reference center_head.py:
+    # shared_conv.0.weight/.1.* and heads_list.{g}.{name}.{2k}.weight(.bias)
+    m = re.match(r"dense_head/shared_conv/(.*)$", path)
+    if m:
+        return _conv_bn_suffix(m.group(1), "dense_head.shared_conv.0.weight",
+                               "dense_head.shared_conv.1", "conv")
+    m = re.match(r"dense_head/head_(\d+)/([a-z_]+)_(\d+)/(.*)$", path)
+    if m:
+        g, name, k, rest = (int(m.group(1)), m.group(2), int(m.group(3)),
+                            m.group(4))
+        base = f"dense_head.heads_list.{g}.{name}"
+        out = _conv_bn_suffix(rest, f"{base}.{3 * k}.weight",
+                              f"{base}.{3 * k + 1}", "conv")
+        if out:
+            return out
+        if rest == "kernel":
+            return f"{base}.{3 * k}.weight", "conv"
+        if rest == "bias":
+            return f"{base}.{3 * k}.bias", ""
+        return None
+
+    return None
+
+
+# ---------------------------------------------------------------------------
+# layout transforms
+# ---------------------------------------------------------------------------
+
+def _to_flax(val: np.ndarray, tf: str, target_shape) -> Optional[np.ndarray]:
+    """Transform a torch-layout array into flax layout for ``target_shape``
+    (returns None when the layouts are irreconcilable)."""
+    v = np.asarray(val)
+    if tf == "":
+        out = v
+    elif tf == "t":
+        out = v.T
+    elif tf == "tau":
+        out = v.reshape(target_shape) if v.size == int(
+            np.prod(target_shape)) else v
+    elif tf == "conv":
+        if v.ndim != 4:
+            return None
+        out = v.transpose(2, 3, 1, 0)  # (out,in,kh,kw)->(kh,kw,in,out)
+    elif tf == "spconv":
+        if v.ndim != 4:
+            return None
+        if v.shape == tuple(target_shape):           # spconv1 (kh,kw,in,out)
+            out = v
+        elif v.transpose(1, 2, 3, 0).shape == tuple(target_shape):
+            out = v.transpose(1, 2, 3, 0)            # spconv2 (out,kh,kw,in)
+        elif v.transpose(2, 3, 1, 0).shape == tuple(target_shape):
+            out = v.transpose(2, 3, 1, 0)            # dense torch conv
+        else:
+            return None
+    elif tf == "deconv":
+        # torch ConvTranspose2d (in, out, s, s), kernel == stride -> our
+        # 1x1-conv depth-to-space relayout (1, 1, in, s*s*out)
+        if v.ndim != 4 or v.shape[2] != v.shape[3]:
+            return None
+        cin, cout, s, _ = v.shape
+        out = v.transpose(0, 2, 3, 1).reshape(1, 1, cin, s * s * cout)
+    else:
+        raise ValueError(f"unknown transform {tf!r}")
+    if tuple(out.shape) != tuple(target_shape):
+        return None
+    return np.ascontiguousarray(out)
+
+
+def _from_flax(val: np.ndarray, tf: str, torch_like: Optional[np.ndarray],
+               deconv_stride: Optional[int] = None) -> np.ndarray:
+    """Inverse of :func:`_to_flax` (for exporting to reference format)."""
+    v = np.asarray(val)
+    if tf == "":
+        return v
+    if tf == "t":
+        return np.ascontiguousarray(v.T)
+    if tf == "tau":
+        if v.ndim == 3 and v.shape[0] > 1:  # (h,1,1) -> (1,h,1,1)
+            return v.reshape(1, *v.shape)
+        return v  # shared (1,1,1)
+    if tf == "conv":
+        return np.ascontiguousarray(v.transpose(3, 2, 0, 1))
+    if tf == "spconv":
+        # export in spconv2 layout (out, kh, kw, in)
+        return np.ascontiguousarray(v.transpose(3, 0, 1, 2))
+    if tf == "deconv":
+        _, _, cin, sso = v.shape
+        if deconv_stride is None:
+            # infer s from s*s*out: try small strides (1, 2, 4, 8)
+            for s in (1, 2, 4, 8):
+                if sso % (s * s) == 0 and (
+                        torch_like is None or (
+                            torch_like.ndim == 4
+                            and torch_like.shape[2] == s)):
+                    if torch_like is not None or s * s <= sso:
+                        deconv_stride = s
+                        if torch_like is not None:
+                            break
+            if torch_like is None:
+                raise ValueError(
+                    "deconv export needs deconv_stride or a torch template")
+        s = deconv_stride
+        out = v.reshape(cin, s, s, sso // (s * s)).transpose(0, 3, 1, 2)
+        return np.ascontiguousarray(out)
+    raise ValueError(f"unknown transform {tf!r}")
+
+
+# ---------------------------------------------------------------------------
+# tree helpers
+# ---------------------------------------------------------------------------
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (str(k),)))
+    else:
+        out["/".join(prefix)] = tree
+    return out
+
+
+def _set_path(tree, path: str, val):
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node[k]
+    node[keys[-1]] = val
+
+
+def _to_mutable(tree):
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        return {k: _to_mutable(v) for k, v in tree.items()}
+    return tree
+
+
+def _is_mae_tree(flat_params) -> bool:
+    return any(p.startswith("backbone_3d/encoder/") or
+               p.startswith("backbone_3d/decoder_pred/") for p in flat_params)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference ``.pth`` checkpoint into {name: numpy array}
+    (reference load_params_from_file, detector3d_template.py:392-411;
+    checkpoints store {'model_state': state_dict, 'epoch', 'it', ...})."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt.get("model_state", ckpt)
+    return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v) for k, v in state.items()}
+
+
+def import_torch_state(state_dict: Dict[str, np.ndarray], params,
+                       batch_stats=None, logger=None):
+    """Shape-tolerant partial load of a reference state dict into flax
+    ``(params, batch_stats)`` trees.
+
+    Returns ``(params, batch_stats, report)`` where report is a dict with
+    ``loaded`` / ``skipped`` / ``unmapped`` name lists.  Semantics mirror
+    the reference's ``_load_state_dict(strict=False)``
+    (detector3d_template.py:361-390): entries missing from the checkpoint
+    or with irreconcilable shapes keep their current (e.g. random-init)
+    values.
+    """
+    import jax.numpy as jnp
+
+    flat_p = _flatten(params)
+    flat_s = _flatten(batch_stats) if batch_stats is not None else {}
+    mae = _is_mae_tree(flat_p)
+
+    new_p = _to_mutable(params)
+    new_s = _to_mutable(batch_stats) if batch_stats is not None else None
+    report = {"loaded": [], "skipped": [], "unmapped": []}
+
+    def log(msg):
+        if logger is not None:
+            logger.info(msg)
+
+    for which, flat, tree in (("P", flat_p, new_p), ("S", flat_s, new_s)):
+        for path, cur in flat.items():
+            mapped = flax_to_torch_name(path, mae=mae)
+            if mapped is None:
+                report["unmapped"].append(path)
+                continue
+            name, tf = mapped
+            if name not in state_dict:
+                report["skipped"].append((path, name, "missing"))
+                log(f"Not updated weight {path} (no {name} in checkpoint)")
+                continue
+            val = _to_flax(state_dict[name], tf, cur.shape)
+            if val is None:
+                report["skipped"].append((path, name, "shape"))
+                log(f"Not updated weight {path}: checkpoint {name} shape "
+                    f"{state_dict[name].shape} vs {tuple(cur.shape)}")
+                continue
+            _set_path(tree, path, jnp.asarray(val, dtype=cur.dtype))
+            report["loaded"].append((path, name))
+
+    log(f"==> Done (loaded {len(report['loaded'])}/"
+        f"{len(flat_p) + len(flat_s)})")
+    return new_p, new_s, report
+
+
+def export_torch_state(params, batch_stats=None,
+                       deconv_strides: Optional[Dict[str, int]] = None):
+    """Export flax trees to a reference-layout state dict {name: numpy}.
+
+    The inverse of :func:`import_torch_state` — lets checkpoints trained
+    here be evaluated by the reference stack (or round-trip tested).
+    ``deconv_strides``: optional {flax deblock path -> upsample stride}
+    (inferred from FUSE_LAYER configs by callers; required because the
+    1x1-relayout folds the stride into the channel dim).
+    """
+    flat = dict(_flatten(params))
+    if batch_stats is not None:
+        flat.update(_flatten(batch_stats))
+    mae = _is_mae_tree(flat)
+    out = {}
+    for path, val in flat.items():
+        mapped = flax_to_torch_name(path, mae=mae)
+        if mapped is None:
+            continue
+        name, tf = mapped
+        stride = (deconv_strides or {}).get(path)
+        if tf == "deconv" and stride is None:
+            # unambiguous only when s*s*out has a unique factorization in
+            # the allowed strides; default: assume square kernels with the
+            # smallest stride whose out-channels stay >= in/4
+            sso = int(val.shape[-1])
+            stride = 1
+            for s in (8, 4, 2, 1):
+                if sso % (s * s) == 0:
+                    stride = s
+                    break
+        out[name] = _from_flax(np.asarray(val), tf, None,
+                               deconv_stride=stride)
+    return out

@@ -165,6 +165,63 @@ def reg_loss_centernet(pred, gt_regr, mask):
     return loss / jnp.clip(num, 1.0, None)
 
 
+@jax.custom_vjp
+def _chamfer_mins(pred, gt, pen_pg, pen_gp):
+    """Nearest-neighbour squared distances in both directions.
+
+    pred (N, P1, 3), gt (N, P2, 3); ``pen_pg`` (N, P2) / ``pen_gp`` (N, P1)
+    are additive penalties (0 valid / 1e9 invalid) implementing the masks.
+    Returns ``(min_pg (N, P1), min_gp (N, P2))``.
+
+    custom_vjp: autodiff through the (N, P1, P2) min materializes the full
+    select-mask cotangent in HBM (measured tens of ms at MAE-bench scale);
+    the hand-written backward recomputes the argmin and contracts the
+    one-hot selection with einsums, so every (N, P1, P2) intermediate
+    stays inside one XLA fusion.
+    """
+    d2 = jnp.sum((pred[:, :, None, :] - gt[:, None, :, :]) ** 2, axis=-1)
+    min_pg = (d2 + pen_pg[:, None, :]).min(axis=2)
+    min_gp = (d2 + pen_gp[:, :, None]).min(axis=1)
+    return min_pg, min_gp
+
+
+def _chamfer_mins_fwd(pred, gt, pen_pg, pen_gp):
+    return _chamfer_mins(pred, gt, pen_pg, pen_gp), (pred, gt, pen_pg, pen_gp)
+
+
+def _chamfer_mins_bwd(res, cts):
+    pred, gt, pen_pg, pen_gp = res
+    g_pg, g_gp = cts  # (N, P1), (N, P2)
+    n, p1, _ = pred.shape
+    p2 = gt.shape[1]
+    d2 = jnp.sum((pred[:, :, None, :] - gt[:, None, :, :]) ** 2, axis=-1)
+    iq = jnp.arange(p2, dtype=jnp.int32)
+    ip = jnp.arange(p1, dtype=jnp.int32)
+    # one-hot argmin selections, scaled by the upstream cotangent; ties
+    # resolve to the first hit (argmin), matching any valid subgradient
+    idx_pg = jnp.argmin(d2 + pen_pg[:, None, :], axis=2)  # (N, P1)
+    oh_pg = (iq[None, None, :] == idx_pg[:, :, None]).astype(pred.dtype)
+    oh_pg = oh_pg * g_pg[:, :, None]  # (N, P1, P2)
+    idx_gp = jnp.argmin(d2 + pen_gp[:, :, None], axis=1)  # (N, P2)
+    oh_gp = (ip[None, :, None] == idx_gp[:, None, :]).astype(pred.dtype)
+    oh_gp = oh_gp * g_gp[:, None, :]  # (N, P1, P2)
+    # d min_pg[p] / d pred[p] = 2 (pred[p] - gt[q*]); gt side transposed
+    s_pg = oh_pg.sum(axis=2)  # (N, P1)
+    gt_sel = jnp.einsum("npq,nqd->npd", oh_pg, gt)
+    s_gp = oh_gp.sum(axis=2)  # (N, P1) selected-as-nearest weights
+    gt_w = jnp.einsum("npq,nqd->npd", oh_gp, gt)
+    dpred = 2.0 * (pred * (s_pg + s_gp)[..., None] - gt_sel - gt_w)
+    t_pg = oh_pg.sum(axis=1)  # (N, P2)
+    pred_t = jnp.einsum("npq,npd->nqd", oh_pg, pred)
+    t_gp = oh_gp.sum(axis=1)
+    pred_sel = jnp.einsum("npq,npd->nqd", oh_gp, pred)
+    dgt = 2.0 * (gt * (t_pg + t_gp)[..., None] - pred_t - pred_sel)
+    return dpred, dgt, jnp.zeros_like(pen_pg), jnp.zeros_like(pen_gp)
+
+
+_chamfer_mins.defvjp(_chamfer_mins_fwd, _chamfer_mins_bwd)
+
+
 def chamfer_distance(pred, gt, pred_mask=None, gt_mask=None, weights=None,
                      method: str = "auto"):
     """Bidirectional Chamfer distance over point sets.
@@ -246,13 +303,11 @@ def chamfer_distance(pred, gt, pred_mask=None, gt_mask=None, weights=None,
         pred_sel = jnp.take_along_axis(pred, idx_gp[..., None], axis=1)
         min_gp = jnp.sum((pred_sel - gt) ** 2, axis=-1)
     else:
-        d2 = jnp.sum(
-            (pred[:, :, None, :] - gt[:, None, :, :]) ** 2, axis=-1)
-        big = jnp.asarray(1e9, d2.dtype)
-        d2_pg = d2 if gt_mask is None else jnp.where(gt_mask[:, None, :], d2, big)
-        d2_gp = d2 if pred_mask is None else jnp.where(pred_mask[:, :, None], d2, big)
-        min_pg = d2_pg.min(axis=2)
-        min_gp = d2_gp.min(axis=1)
+        pen_pg = (jnp.zeros((n, p2n), pred.dtype) if gt_mask is None else
+                  jnp.where(gt_mask, 0.0, 1e9).astype(pred.dtype))
+        pen_gp = (jnp.zeros((n, p1), pred.dtype) if pred_mask is None else
+                  jnp.where(pred_mask, 0.0, 1e9).astype(pred.dtype))
+        min_pg, min_gp = _chamfer_mins(pred, gt, pen_pg, pen_gp)
     d2 = min_pg  # dtype carrier for the reductions below
 
     if pred_mask is not None:

@@ -53,3 +53,11 @@ if "xla_cpu_collective" not in flags:
               " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
 os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# persistent compile cache: full-model tests are compile-dominated on CPU,
+# and their graphs are identical across runs
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.abspath(_cache))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES",
+                      "xla_gpu_per_fusion_autotune_cache_dir")

@@ -229,3 +229,44 @@ def test_chamfer_select_matches_exact():
     np.testing.assert_allclose(
         float(jnp.linalg.norm(g_sel - g_exact))
         / max(float(jnp.linalg.norm(g_exact)), 1e-9), 0.0, atol=0.1)
+
+
+def test_chamfer_custom_vjp_matches_autodiff():
+    """The hand-written chamfer backward (one-hot argmin + einsum, avoids
+    materializing the (N,P1,P2) select-mask cotangent in HBM) must match
+    plain autodiff through the min."""
+    import jax
+    import jax.numpy as jnp
+    from gdmae_tpu.utils import loss_utils
+
+    rng = np.random.RandomState(5)
+    n, p1, p2 = 3, 16, 64
+    pred = jnp.asarray(rng.randn(n, p1, 3).astype(np.float32))
+    gt = jnp.asarray(rng.randn(n, p2, 3).astype(np.float32))
+    pm = jnp.asarray(rng.rand(n, p1) > 0.2)
+    gm = jnp.asarray(rng.rand(n, p2) > 0.3)
+    w = jnp.asarray(rng.rand(n).astype(np.float32))
+
+    def loss_custom(pr, g):
+        return loss_utils.chamfer_distance(
+            pr, g, pred_mask=pm, gt_mask=gm, weights=w, method="exact")
+
+    def loss_plain(pr, g):
+        big = jnp.asarray(1e9, pr.dtype)
+        d2 = jnp.sum((pr[:, :, None, :] - g[:, None, :, :]) ** 2, axis=-1)
+        min_pg = jnp.where(gm[:, None, :], d2, big).min(axis=2)
+        min_gp = jnp.where(pm[:, :, None], d2, big).min(axis=1)
+        pm_f = pm.astype(pr.dtype)
+        gm_f = gm.astype(pr.dtype)
+        l_pg = (min_pg * pm_f).sum(-1) / jnp.clip(pm_f.sum(-1), 1.0, None)
+        l_gp = (min_gp * gm_f).sum(-1) / jnp.clip(gm_f.sum(-1), 1.0, None)
+        return jnp.sum((l_pg + l_gp) * w) / jnp.clip(w.sum(), 1e-6, None)
+
+    v0 = float(loss_plain(pred, gt))
+    v1 = float(loss_custom(pred, gt))
+    np.testing.assert_allclose(v1, v0, rtol=1e-5)
+    g0 = jax.grad(loss_plain, argnums=(0, 1))(pred, gt)
+    g1 = jax.grad(loss_custom, argnums=(0, 1))(pred, gt)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

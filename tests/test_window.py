@@ -176,3 +176,91 @@ def test_packed_shift_block_matches_per_level():
         per_level = blk.apply(params, rows, plans)
     np.testing.assert_allclose(np.asarray(packed), np.asarray(per_level),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_packing_specs_semantics():
+    """pow2 packing refinement must keep drop semantics identical: every
+    window count lands in exactly one refined level, keeps the same number
+    of tokens, and every refined max_tokens divides 128 (packed path)."""
+    specs = W.packing_specs(DROPS, 64)
+    assert all(128 % s.max_tokens == 0 for s in specs)
+    for cnt in range(1, 200):
+        orig = [s for s in DROPS if max(s.lower, 1) <= cnt < s.upper]
+        ref = [s for s in specs if max(s.lower, 1) <= cnt < s.upper]
+        assert len(orig) == len(ref) == 1, cnt
+        # kept tokens identical (window keeps min(count, max_tokens) either
+        # way; the 64-cell window bounds counts at 64)
+        c = min(cnt, 64)
+        assert min(c, orig[0].max_tokens) == min(c, ref[0].max_tokens), cnt
+        # refined padding never exceeds the original level's padding
+        assert ref[0].max_tokens <= orig[0].max_tokens, cnt
+    # sub-levels are ordered and contiguous within each original level
+    for a, bspec in zip(specs, specs[1:]):
+        assert a.upper == bspec.lower
+
+
+def test_pack_pow2_block_equivalence():
+    """Encoder output through pow2-refined packing levels must equal the
+    unrefined drop levels bit-for-bit in f32 tolerance (same kept tokens,
+    same attention sets; only the padded layout differs)."""
+    from gdmae_tpu.models.model_utils.sst_layers import CanvasShiftBlock
+
+    rng = np.random.RandomState(11)
+    ny, nx, m = 40, 40, 96
+    b = 2
+    occ_np = np.zeros((b, ny, nx), bool)
+    coords_list, mask_list = [], []
+    for bi in range(b):
+        # mix of sparse scatter + one dense 8x8 patch (exercises several
+        # pow2 sub-levels AND the >32-count level)
+        cells = set(rng.choice(ny * nx, size=40, replace=False).tolist())
+        base = (rng.randint(0, 4) * 8) * nx + rng.randint(0, 4) * 8
+        for dy in range(7):
+            for dx in range(6):
+                cells.add(base + dy * nx + dx)
+        cells = np.sort(np.fromiter(cells, np.int64))[: m - 3]
+        cy, cx = cells // nx, cells % nx
+        occ_np[bi, cy, cx] = True
+        coords = np.zeros((m, 2), np.int32)
+        coords[: len(cells), 0] = cy
+        coords[: len(cells), 1] = cx
+        coords_list.append(coords)
+        mask_list.append(np.arange(m) < len(cells))
+    occ = jnp.asarray(occ_np)
+    coords = jnp.asarray(np.stack(coords_list))
+    mask = jnp.asarray(np.stack(mask_list))
+
+    window = (8, 8)
+    c2t = W.build_cell2tok(coords, mask, (ny, nx))
+    tcell = W.token_cell_index(coords, mask, (ny, nx))
+
+    def run(specs, caps):
+        plans = [
+            W.plan_to_tokens(
+                W.build_bucket_plan(occ, (ny, nx), window, shift, specs, caps),
+                c2t, tcell, m)
+            for shift in ((0, 0), (4, 4))
+        ]
+        for p in plans:
+            assert int(p.overflow) == 0
+        rows = jnp.asarray(rng.randn(b, m, 64).astype(np.float32))
+        blk = CanvasShiftBlock(d_model=64, nhead=4, dim_feedforward=128,
+                               window=window)
+        params = blk.init(jax.random.PRNGKey(0), rows, plans)
+        return rows, params, blk.apply(params, rows, plans)
+
+    rng_state = rng.get_state()
+    caps0 = W.default_win_caps((ny, nx), window, m, DROPS)
+    rows0, params0, out0 = run(DROPS, caps0)
+
+    rng.set_state(rng_state)  # same token features
+    packed_specs = W.packing_specs(DROPS, 64)
+    caps1 = W.default_win_caps((ny, nx), window, m, packed_specs)
+    rows1, params1, out1 = run(packed_specs, caps1)
+
+    np.testing.assert_array_equal(np.asarray(rows0), np.asarray(rows1))
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_array_equal(np.asarray(a), np.asarray(c)),
+        params0, params1)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                               rtol=2e-5, atol=2e-5)

@@ -29,17 +29,29 @@ def synth_scan(rng, batch_size, n):
     pts[..., 3] = rng.uniform(0, 1, (batch_size, n))
     return pts
 
-def window_caps_for(pts, mask_ratio=0.85, margin=1.25):
+def window_caps_for(pts, mask_ratio=0.85, margin=1.25, drop_specs=None):
     """Zero-overflow per-level window caps for THIS data (numpy,
     host-side; caps are static per process).  Counts nonempty 8x8
     windows per drop level for the ~15% kept pillar set, propagating
     the footprint through each stage's stride-2 downsample + 3x3
     dilation.  Undersized caps silently DROP whole windows from the
-    encoder and understate the attention work being benchmarked."""
+    encoder and understate the attention work being benchmarked.
+
+    ``drop_specs``: optional per-level ``(max_tokens, lower, upper)``
+    list applied at every stage (e.g. the pow2-refined packing spec from
+    ``gdmae_tpu.ops.window.packing_specs``); defaults to the shipped
+    16/32/64 DROP_INFO.  Caps are rounded up so every level's
+    ``cap * max_tokens`` is a whole number of 128-wide attention tiles
+    (``cap_align``), keeping the packed attention path valid."""
+    from gdmae_tpu.ops.window import cap_align
+
+    if drop_specs is None:
+        drop_specs = [(16, 1, 16), (32, 16, 32), (64, 32, 10 ** 9)]
+    drop_specs = [tuple(int(v) for v in s) for s in drop_specs]
+    n_lvl = len(drop_specs)
     rng = np.random.RandomState(7)
     ny0, nx0 = 248, 216
-    drop_edges = [(1, 16), (16, 32), (32, 10 ** 9)]
-    need = [[1, 1, 1] for _ in range(3)]
+    need = [[1] * n_lvl for _ in range(3)]
     for bi in range(pts.shape[0]):
         ix = (pts[bi, :, 0] / 0.32).astype(np.int64)
         iy = ((pts[bi, :, 1] + 39.68) / 0.32).astype(np.int64)
@@ -51,9 +63,10 @@ def window_caps_for(pts, mask_ratio=0.85, margin=1.25):
         for stage in range(3):
             win = (cy // 8) * ((nx + 7) // 8) + cx // 8
             _, cnt = np.unique(win, return_counts=True)
-            for li, (lo, hi) in enumerate(drop_edges):
+            for li, (_, lo, hi) in enumerate(drop_specs):
                 need[stage][li] = max(
-                    need[stage][li], int(((cnt >= lo) & (cnt < hi)).sum()))
+                    need[stage][li],
+                    int(((cnt >= max(lo, 1)) & (cnt < hi)).sum()))
             ny2, nx2 = -(-ny // 2), -(-nx // 2)
             nxt = set()
             for dy in (-1, 0, 1):
@@ -64,5 +77,6 @@ def window_caps_for(pts, mask_ratio=0.85, margin=1.25):
             arr = np.fromiter(nxt, np.int64)
             cy, cx = arr // nx2, arr % nx2
             ny, nx = ny2, nx2
-    return [tuple(max(8, -(-int(need[s][li] * margin) // 8) * 8)
-                  for li in range(3)) for s in range(3)]
+    aligns = [cap_align(min(mt, 64)) for mt, _, _ in drop_specs]
+    return [tuple(max(a, -(-int(need[s][li] * margin) // a) * a)
+                  for li, a in enumerate(aligns)) for s in range(3)]

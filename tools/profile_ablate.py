@@ -58,9 +58,20 @@ def main():
 
     cfg = cfg_from_yaml_file(str(REPO / "tools/cfgs/kitti_models/gd_mae_ssl.yaml"))
     # same workload as bench.py: LiDAR-like scans + zero-overflow caps
+    # (and the same GDMAE_BENCH_PACK pow2-packing switch)
+    import os as _os
+    drop_specs = None
+    if _os.environ.get("GDMAE_BENCH_PACK", "1") != "0":
+        from gdmae_tpu.ops import window as window_ops
+        cfg.MODEL.BACKBONE_3D.TPU_PACK_POW2 = True
+        drop_specs = window_ops.packing_specs(
+            window_ops.drop_specs_from_cfg(
+                cfg.MODEL.BACKBONE_3D.SST_BLOCK_LIST[0]
+                .PREPROCESS.DROP_INFO["train"]), 64)
     cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS = [
         list(c) for c in window_caps_for(
-            synth_scan(np.random.RandomState(0), 4, 16384))]
+            synth_scan(np.random.RandomState(0), 4, 16384),
+            drop_specs=drop_specs)]
     cfg.MODEL.BACKBONE_3D.TPU_REMAT = False
     meta = DatasetMeta(
         class_names=cfg.CLASS_NAMES,
