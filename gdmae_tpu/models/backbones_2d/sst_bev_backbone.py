@@ -31,26 +31,27 @@ class SSTBEVBackbone(nn.Module):
         shortcut_idx = set(cfgd.get("CONV_SHORTCUT", []))
         num_filter = int(cfgd.get("NUM_FILTER", x.shape[-1]))
 
-        shortcut = None
         for i, ck in enumerate(conv_kwargs):
             out_ch = int(ck["out_channels"])
             k = int(ck["kernel_size"])
             d = int(ck.get("dilation", 1))
             s = int(ck.get("stride", 1))
+            p = int(ck.get("padding", d * (k // 2)))
             y = nn.Conv(
                 out_ch, (k, k), strides=(s, s), kernel_dilation=(d, d),
-                padding="SAME", use_bias=False, dtype=self.dtype,
+                padding=((p, p), (p, p)), use_bias=False, dtype=self.dtype,
                 kernel_init=kaiming_conv_init(), name=f"conv_{i}",
             )(x)
             y = MaskedBatchNorm(dtype=self.dtype, name=f"bn_{i}")(
                 y, use_running_average=not train
             )
             y = nn.relu(y)
-            if i in shortcut_idx:
-                shortcut = y if shortcut is None else shortcut + y
-            x = y
-        if shortcut is not None:
-            x = x + shortcut
+            # per-layer residual when shapes agree (reference
+            # sst_bev_backbone.py:36-40)
+            if i in shortcut_idx and y.shape == x.shape:
+                x = y + x
+            else:
+                x = y
 
         batch_dict["spatial_features_2d"] = x
         return batch_dict

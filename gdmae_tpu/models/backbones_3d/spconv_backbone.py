@@ -125,8 +125,12 @@ class VoxelBackBone8x(nn.Module):
         x, *_ = SpConvLayer(16, dtype=self.dtype, name="conv_input")(
             feats, coords, mask, shape, train=train)
         if self.residual:
-            x1 = SparseBasicBlock(16, dtype=self.dtype, name="conv1_res")(
+            # reference VoxelResBackBone8x conv1 = TWO SparseBasicBlocks
+            # (spconv_backbone.py:135-138)
+            x1 = SparseBasicBlock(16, dtype=self.dtype, name="conv1_res1")(
                 x, coords, mask, shape, train=train)
+            x1 = SparseBasicBlock(16, dtype=self.dtype, name="conv1_res2")(
+                x1, coords, mask, shape, train=train)
         else:
             x1, *_ = SpConvLayer(16, dtype=self.dtype, name="conv1")(
                 x, coords, mask, shape, train=train)
@@ -134,7 +138,9 @@ class VoxelBackBone8x(nn.Module):
 
         x2, c2, m2, s2 = stage(x1, c1, m1, s1, 32, "conv2")
         x3, c3, m3, s3 = stage(x2, c2, m2, s2, 64, "conv3")
-        x4, c4, m4, s4 = stage(x3, c3, m3, s3, 64, "conv4", stride_pad=(0, 1, 1))
+        # the residual variant widens conv4 to 128ch (reference :157 vs :43)
+        x4, c4, m4, s4 = stage(x3, c3, m3, s3, 128 if self.residual else 64,
+                               "conv4", stride_pad=(0, 1, 1))
 
         # conv_out: kernel (3,1,1) stride (2,1,1) pad 0 -> z ~ 2
         caps = c4.shape[1]

@@ -42,7 +42,10 @@ class SeparateHead(nn.Module):
                 y = nn.Conv(x.shape[-1], (3, 3), padding="SAME",
                             use_bias=self.use_bias, dtype=self.dtype,
                             name=f"{name}_conv{k}")(y)
-                y = MaskedBatchNorm(dtype=self.dtype, name=f"{name}_bn{k}")(
+                # reference SeparateHead uses torch-default BN eps=1e-5
+                # (center_head.py:24), unlike the 1e-3 of the rest
+                y = MaskedBatchNorm(eps=1e-5, dtype=self.dtype,
+                                    name=f"{name}_bn{k}")(
                     y, use_running_average=not train)
                 y = nn.relu(y)
             bias_init = (nn.initializers.constant(self.init_bias)
@@ -84,7 +87,8 @@ class CenterHead(nn.Module):
             int(cfg.SHARED_CONV_CHANNEL), (3, 3), padding="SAME",
             use_bias=bool(cfg.get("USE_BIAS_BEFORE_NORM", False)),
             dtype=self.dtype, name="shared_conv")
-        self.shared_bn = MaskedBatchNorm(dtype=self.dtype, name="shared_bn")
+        self.shared_bn = MaskedBatchNorm(
+            eps=1e-5, dtype=self.dtype, name="shared_bn")  # ref :78 default
 
         heads = []
         for idx, names in enumerate(self.class_names_each_head):

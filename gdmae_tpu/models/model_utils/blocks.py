@@ -123,10 +123,15 @@ class ConvBNReLU(nn.Module):
                 use_bias=False, dtype=self.dtype, kernel_init=kaiming_conv_init(),
             )(x)
         else:
+            # torch-style symmetric padding (reference spconv post_act_block
+            # uses padding=k//2): identical to SAME at stride 1, but SAME
+            # pads (0, 1) for stride-2 on even sizes — one-cell misaligned
+            # vs the reference's (1, 1)
+            p = self.dilation * (self.kernel // 2)
             y = nn.Conv(
                 self.features, kern, strides=(self.stride, self.stride),
                 kernel_dilation=(self.dilation, self.dilation),
-                padding="SAME", use_bias=False, dtype=self.dtype,
+                padding=((p, p), (p, p)), use_bias=False, dtype=self.dtype,
                 kernel_init=kaiming_conv_init(),
             )(x)
         y = MaskedBatchNorm(dtype=self.dtype)(y, mask=occ_out, use_running_average=not train)
@@ -213,10 +218,11 @@ def dilate_occupancy(occ, kernel: int = 3, stride: int = 1):
     """Occupancy of a strided sparse-conv output: any input voxel under the
     kernel footprint activates the output site (spconv SparseConv2d
     semantics).  occ: (B, H, W) bool."""
+    p = kernel // 2
     y = nn.max_pool(
         occ[..., None].astype(jnp.float32),
         window_shape=(kernel, kernel),
         strides=(stride, stride),
-        padding="SAME",
+        padding=((p, p), (p, p)),  # torch padding=k//2 (see ConvBNReLU)
     )[..., 0]
     return y > 0.5

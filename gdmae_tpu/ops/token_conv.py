@@ -12,8 +12,9 @@ matmul — O(M*k^2*C^2) FLOPs, proportional to the number of ACTIVE sites.
 All indexing is per-sample ``take_along_axis`` (no cross-batch indices), so
 a data-parallel mesh shards it with zero collectives.
 
-Padding follows XLA's SAME convention (pad_lo = total//2) so results are
-bit-identical to ``nn.Conv(padding="SAME")`` on the equivalently scattered
+Padding follows the torch convention (symmetric pad = kernel//2, like the
+reference's spconv post_act_block padding=1) so results are bit-identical to
+:class:`models.model_utils.blocks.ConvBNReLU` on the equivalently scattered
 canvas; missing neighbors contribute zeros, exactly like sparse conv.
 """
 from __future__ import annotations
@@ -26,10 +27,11 @@ import jax.numpy as jnp
 
 
 def same_pad_lo(in_dim: int, kernel: int, stride: int) -> int:
-    """XLA SAME padding low-side amount for one spatial dim."""
-    out_dim = -(-in_dim // stride)
-    total = max((out_dim - 1) * stride + kernel - in_dim, 0)
-    return total // 2
+    """Low-side padding: torch symmetric kernel//2 (see module docstring).
+    XLA SAME pads (0, 1) for stride-2/kernel-3 on even sizes — one cell
+    misaligned vs the reference."""
+    del in_dim, stride
+    return kernel // 2
 
 
 def gather_conv_taps(

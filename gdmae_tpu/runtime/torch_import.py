@@ -138,6 +138,54 @@ def flax_to_torch_name(path: str, mae: bool = False):
             return f"{base}.{enc[0]}", enc[1]
         return None
 
+    # ---- VoxelBackBone8x / VoxelResBackBone8x (3D sparse pyramid) ----
+    # ours (models/backbones_3d/spconv_backbone.py): conv_input, conv1 /
+    # conv1_res{1,2}, conv{s}_down + conv{s}_subm{1,2} / conv{s}_res{1,2},
+    # conv_out; reference spconv_backbone.py: SparseSequential stacks
+    # (conv{s}.0 = strided block, .{j} = subm block or SparseBasicBlock
+    # with conv1/bn1/conv2/bn2 attributes).
+    m = re.match(r"backbone_3d/(conv_input|conv_out|conv\d(?:_\w+)?)/(.*)$",
+                 path)
+    if m and not path.startswith("backbone_3d/sst_block"):
+        mod, rest = m.group(1), m.group(2)
+        mm = re.match(r"(conv\d)_res(\d)/(conv\d)/(.*)$",
+                      mod + "/" + rest)
+        if mm:  # SparseBasicBlock: conv{s}_res{r}/conv{j}
+            stage, r, cj, rest2 = (mm.group(1), int(mm.group(2)),
+                                   mm.group(3), mm.group(4))
+            # stage conv1: blocks at list index r-1; strided stages: the
+            # blocks sit AFTER the strided block (index r)
+            idx = r - 1 if stage == "conv1" else r
+            base = f"backbone_3d.{stage}.{idx}"
+            if rest2 == "kernel":
+                return f"{base}.{cj}.weight", "spconv3d"
+            mm2 = re.match(r"MaskedBatchNorm_0/(scale|bias|mean|var)$", rest2)
+            if mm2:
+                bn = "bn1" if cj == "conv1" else "bn2"
+                return f"{base}.{bn}.{_BN_LEAF[mm2.group(1)]}", ""
+            return None
+        table = {
+            "conv_input": "backbone_3d.conv_input",       # conv at .0, bn .1
+            "conv_out": "backbone_3d.conv_out",
+            "conv1": "backbone_3d.conv1.0",               # post_act_block
+        }
+        mm = re.match(r"conv(\d)_down$", mod)
+        if mm:
+            base = f"backbone_3d.conv{mm.group(1)}.0"
+        elif re.match(r"conv(\d)_subm(\d)$", mod):
+            mm = re.match(r"conv(\d)_subm(\d)$", mod)
+            base = f"backbone_3d.conv{mm.group(1)}.{mm.group(2)}"
+        elif mod in table:
+            base = table[mod]
+        else:
+            return None
+        if rest == "kernel":
+            return f"{base}.0.weight", "spconv3d"
+        mm = re.match(r"MaskedBatchNorm_0/(scale|bias|mean|var)$", rest)
+        if mm:
+            return f"{base}.1.{_BN_LEAF[mm.group(1)]}", ""
+        return None
+
     # ---- FPN fuse: detection deblocks / MAE generative decoder ----
     m = re.match(r"backbone_3d/(encoder/)?fuse/(.*)$", path)
     if m:
@@ -187,27 +235,44 @@ def flax_to_torch_name(path: str, mae: bool = False):
                 "conv" if leaf == "kernel" else "")
 
     # ---- CenterHead: shared conv + SeparateHead branches ----
-    # ours: dense_head/shared_conv/{Conv_0/kernel,MaskedBatchNorm_0/...} and
-    # dense_head/head_{g}/{name}_{k}/... ; reference center_head.py:
-    # shared_conv.0.weight/.1.* and heads_list.{g}.{name}.{2k}.weight(.bias)
-    m = re.match(r"dense_head/shared_conv/(.*)$", path)
+    # ours (models/dense_heads/center_head.py): dense_head/shared_conv/
+    # kernel + shared_bn/*, head_{g}/{name}_conv{k} + {name}_bn{k} +
+    # {name}_out; reference center_head.py:11-45,73-80: shared_conv is
+    # Sequential(Conv2d, BN, ReLU); each SeparateHead target is
+    # Sequential(Sequential(Conv2d, BN, ReLU) x (num_conv-1), Conv2d) ->
+    # the final conv sits at list index num_conv-1 (unknown from one flax
+    # path: candidate names, resolved against the checkpoint).
+    m = re.match(r"dense_head/shared_conv/(kernel|bias)$", path)
     if m:
-        return _conv_bn_suffix(m.group(1), "dense_head.shared_conv.0.weight",
-                               "dense_head.shared_conv.1", "conv")
-    m = re.match(r"dense_head/head_(\d+)/([a-z_]+)_(\d+)/(.*)$", path)
+        leaf = m.group(1)
+        return (f"dense_head.shared_conv.0."
+                f"{'weight' if leaf == 'kernel' else 'bias'}",
+                "conv" if leaf == "kernel" else "")
+    m = re.match(r"dense_head/shared_bn/(scale|bias|mean|var)$", path)
     if m:
-        g, name, k, rest = (int(m.group(1)), m.group(2), int(m.group(3)),
+        return f"dense_head.shared_conv.1.{_BN_LEAF[m.group(1)]}", ""
+    m = re.match(r"dense_head/head_(\d+)/([a-z0-9_]+)_conv(\d+)/"
+                 r"(kernel|bias)$", path)
+    if m:
+        g, name, k, leaf = (int(m.group(1)), m.group(2), int(m.group(3)),
                             m.group(4))
-        base = f"dense_head.heads_list.{g}.{name}"
-        out = _conv_bn_suffix(rest, f"{base}.{3 * k}.weight",
-                              f"{base}.{3 * k + 1}", "conv")
-        if out:
-            return out
-        if rest == "kernel":
-            return f"{base}.{3 * k}.weight", "conv"
-        if rest == "bias":
-            return f"{base}.{3 * k}.bias", ""
-        return None
+        return (f"dense_head.heads_list.{g}.{name}.{k}.0."
+                f"{'weight' if leaf == 'kernel' else 'bias'}",
+                "conv" if leaf == "kernel" else "")
+    m = re.match(r"dense_head/head_(\d+)/([a-z0-9_]+)_bn(\d+)/"
+                 r"(scale|bias|mean|var)$", path)
+    if m:
+        g, name, k = int(m.group(1)), m.group(2), int(m.group(3))
+        return (f"dense_head.heads_list.{g}.{name}.{k}.1."
+                f"{_BN_LEAF[m.group(4)]}"), ""
+    m = re.match(r"dense_head/head_(\d+)/([a-z0-9_]+)_out/(kernel|bias)$",
+                 path)
+    if m:
+        g, name, leaf = int(m.group(1)), m.group(2), m.group(3)
+        torch_leaf = "weight" if leaf == "kernel" else "bias"
+        cands = [f"dense_head.heads_list.{g}.{name}.{j}.{torch_leaf}"
+                 for j in (1, 2, 3, 0, 4)]
+        return cands, ("conv" if leaf == "kernel" else "")
 
     return None
 
@@ -242,6 +307,18 @@ def _to_flax(val: np.ndarray, tf: str, target_shape) -> Optional[np.ndarray]:
             out = v.transpose(2, 3, 1, 0)            # dense torch conv
         else:
             return None
+    elif tf == "spconv3d":
+        # target (K, in, out) with K = prod(kernel), tap-major (z, y, x)
+        if v.ndim != 5:
+            return None
+        k_t, cin_t, cout_t = target_shape
+        if v.shape[-1] == cout_t and int(np.prod(v.shape[:3])) == k_t:
+            out = v.reshape(k_t, cin_t, cout_t)      # spconv1 (k,k,k,in,out)
+        elif v.shape[0] == cout_t and int(np.prod(v.shape[1:4])) == k_t:
+            out = v.transpose(1, 2, 3, 4, 0).reshape(
+                k_t, cin_t, cout_t)                  # spconv2 (out,k,k,k,in)
+        else:
+            return None
     elif tf == "deconv":
         # torch ConvTranspose2d (in, out, s, s), kernel == stride -> our
         # 1x1-conv depth-to-space relayout (1, 1, in, s*s*out)
@@ -273,6 +350,13 @@ def _from_flax(val: np.ndarray, tf: str, torch_like: Optional[np.ndarray],
     if tf == "spconv":
         # export in spconv2 layout (out, kh, kw, in)
         return np.ascontiguousarray(v.transpose(3, 0, 1, 2))
+    if tf == "spconv3d":
+        # (K, in, out) -> spconv2 (out, k1, k2, k3, in); K factors as a
+        # cube (3,3,3) or the conv_out (3,1,1) special case
+        k, cin, cout = v.shape
+        dims = {27: (3, 3, 3), 3: (3, 1, 1), 1: (1, 1, 1)}[k]
+        return np.ascontiguousarray(
+            v.reshape(*dims, cin, cout).transpose(4, 0, 1, 2, 3))
     if tf == "deconv":
         _, _, cin, sso = v.shape
         if deconv_stride is None:
@@ -377,6 +461,8 @@ def import_torch_state(state_dict: Dict[str, np.ndarray], params,
                 report["unmapped"].append(path)
                 continue
             name, tf = mapped
+            if isinstance(name, list):  # ambiguous index: first present wins
+                name = next((n for n in name if n in state_dict), name[0])
             if name not in state_dict:
                 report["skipped"].append((path, name, "missing"))
                 log(f"Not updated weight {path} (no {name} in checkpoint)")
@@ -415,6 +501,17 @@ def export_torch_state(params, batch_stats=None,
         if mapped is None:
             continue
         name, tf = mapped
+        if isinstance(name, list):
+            # SeparateHead final conv: its Sequential index is the number
+            # of preceding conv sub-blocks (count the _conv{k} siblings)
+            mm = re.match(r"(dense_head/head_\d+/[a-z0-9_]+)_out/", path)
+            n_conv = len({p for p in flat
+                          if mm and re.match(
+                              re.escape(mm.group(1)) + r"_conv\d+/kernel$",
+                              p)})
+            j = n_conv if mm else 1
+            name = re.sub(r"\.(\d+)\.(weight|bias)$",
+                          lambda s: f".{j}.{s.group(2)}", name[0])
         stride = (deconv_strides or {}).get(path)
         if tf == "deconv" and stride is None:
             # unambiguous only when s*s*out has a unique factorization in

@@ -179,14 +179,15 @@ def _make_spconv_stub():
     class SparseConvolution(SparseModule):
         def __init__(self, in_channels, out_channels, kernel_size, stride=1,
                      padding=0, dilation=1, bias=False, indice_key=None,
-                     subm=False):
+                     subm=False, ndim=2):
             super().__init__()
-            ks = (kernel_size,) * 2 if isinstance(kernel_size, int) else tuple(kernel_size)
+            self.ndim = ndim
+            ks = (kernel_size,) * ndim if isinstance(kernel_size, int) else tuple(kernel_size)
             self.in_channels, self.out_channels = in_channels, out_channels
             self.kernel_size = ks
-            self.stride = (stride,) * 2 if isinstance(stride, int) else tuple(stride)
-            self.padding = (padding,) * 2 if isinstance(padding, int) else tuple(padding)
-            self.dilation = (dilation,) * 2 if isinstance(dilation, int) else tuple(dilation)
+            self.stride = (stride,) * ndim if isinstance(stride, int) else tuple(stride)
+            self.padding = (padding,) * ndim if isinstance(padding, int) else tuple(padding)
+            self.dilation = (dilation,) * ndim if isinstance(dilation, int) else tuple(dilation)
             self.subm = subm
             self.indice_key = indice_key
             # spconv 2.x native layout: (out, k1, k2, in)
@@ -199,13 +200,16 @@ def _make_spconv_stub():
                 assert all(k % 2 == 1 for k in ks), "subm needs odd kernels"
                 self.padding = tuple(d * (k // 2) for k, d in
                                      zip(ks, self.dilation))
-                self.stride = (1, 1)
+                self.stride = (1,) * ndim
 
         def forward(self, x: SparseConvTensor):
-            dense = x.dense()  # (B, C, H, W)
-            w = self.weight.permute(0, 3, 1, 2)  # (out, in, kh, kw)
-            out = F.conv2d(dense, w, self.bias, stride=self.stride,
-                           padding=self.padding, dilation=self.dilation)
+            nd = self.ndim
+            convnd = F.conv2d if nd == 2 else F.conv3d
+            dense = x.dense()  # (B, C, spatial...)
+            # spconv2 native layout (out, k..., in) -> torch (out, in, k...)
+            w = self.weight.permute(0, nd + 1, *range(1, nd + 1))
+            out = convnd(dense, w, self.bias, stride=self.stride,
+                         padding=self.padding, dilation=self.dilation)
             if self.subm:
                 new_indices = x.indices
                 out_shape = x.spatial_shape
@@ -213,16 +217,18 @@ def _make_spconv_stub():
                 occ = x.features.new_zeros(
                     (x.batch_size, 1, *x.spatial_shape))
                 idx = x.indices.long()
-                occ[idx[:, 0], 0, idx[:, 1], idx[:, 2]] = 1.0
+                occ[(idx[:, 0], torch.zeros_like(idx[:, 0]),
+                     *(idx[:, i] for i in range(1, nd + 1)))] = 1.0
                 ones = torch.ones((1, 1, *self.kernel_size),
                                   dtype=occ.dtype)
-                hit = F.conv2d(occ, ones, stride=self.stride,
-                               padding=self.padding, dilation=self.dilation)
-                nz = (hit[:, 0] > 0).nonzero()  # (M, 3) b, y, x lexicographic
+                hit = convnd(occ, ones, stride=self.stride,
+                             padding=self.padding, dilation=self.dilation)
+                nz = (hit[:, 0] > 0).nonzero()  # (M, 1+nd) lexicographic
                 new_indices = nz.to(x.indices.dtype)
-                out_shape = list(out.shape[-2:])
-            feats = out[new_indices[:, 0].long(), :,
-                        new_indices[:, 1].long(), new_indices[:, 2].long()]
+                out_shape = list(out.shape[-nd:])
+            idx = new_indices.long()
+            feats = out[(idx[:, 0], slice(None),
+                         *(idx[:, i] for i in range(1, nd + 1)))]
             return SparseConvTensor(feats, new_indices, out_shape,
                                     x.batch_size)
 
@@ -238,11 +244,24 @@ def _make_spconv_stub():
                                  stride, padding, dilation, bias, indice_key,
                                  subm=False)
 
+    def SubMConv3d(in_channels, out_channels, kernel_size, stride=1,
+                   padding=0, dilation=1, bias=False, indice_key=None):
+        return SparseConvolution(in_channels, out_channels, kernel_size,
+                                 stride, padding, dilation, bias, indice_key,
+                                 subm=True, ndim=3)
+
+    def SparseConv3d(in_channels, out_channels, kernel_size, stride=1,
+                     padding=0, dilation=1, bias=False, indice_key=None):
+        return SparseConvolution(in_channels, out_channels, kernel_size,
+                                 stride, padding, dilation, bias, indice_key,
+                                 subm=False, ndim=3)
+
     class SparseSequential(nn.Sequential):
         def forward(self, x):
             for m in self:
-                if isinstance(m, SparseConvolution):
-                    x = m(x)
+                if isinstance(m, (SparseConvolution, SparseSequential,
+                                  SparseModule)):
+                    x = m(x)  # sparse-aware (incl. nested Sequentials)
                 elif isinstance(x, SparseConvTensor):
                     x = x.replace_feature(m(x.features))
                 else:
@@ -257,10 +276,12 @@ def _make_spconv_stub():
     sp.SparseSequential = SparseSequential
     sp.SubMConv2d = SubMConv2d
     sp.SparseConv2d = SparseConv2d
+    sp.SubMConv3d = SubMConv3d
+    sp.SparseConv3d = SparseConv3d
     sys.modules["spconv.conv"] = conv_mod
     pytorch_mod = types.ModuleType("spconv.pytorch")
     for k in ("conv", "SparseConvTensor", "SparseModule", "SparseSequential",
-              "SubMConv2d", "SparseConv2d"):
+              "SubMConv2d", "SparseConv2d", "SubMConv3d", "SparseConv3d"):
         setattr(pytorch_mod, k, getattr(sp, k))
     sys.modules["spconv.pytorch"] = pytorch_mod
     return sp
@@ -337,6 +358,8 @@ _FILES = {
         "pcdet/models/backbones_3d/vfe/dyn_vfe.py",
     "pcdet.models.backbones_3d.spt_backbone":
         "pcdet/models/backbones_3d/spt_backbone.py",
+    "pcdet.models.backbones_3d.spconv_backbone":
+        "pcdet/models/backbones_3d/spconv_backbone.py",
     "pcdet.models.backbones_2d.sst_bev_backbone":
         "pcdet/models/backbones_2d/sst_bev_backbone.py",
     "pcdet.models.dense_heads.target_assigner.anchor_generator":
@@ -391,6 +414,9 @@ _DEPS = {
     "pcdet.models.backbones_3d.spt_backbone": [
         "pcdet.models.model_utils.sst_basic_block",
         "pcdet.models.model_utils.sst_utils",
+        "pcdet.utils.spconv_utils",
+    ],
+    "pcdet.models.backbones_3d.spconv_backbone": [
         "pcdet.utils.spconv_utils",
     ],
     "pcdet.models.dense_heads.anchor_head_template": [

@@ -23,8 +23,11 @@ def _random_sites(rng, b, m, ny, nx):
 
 
 def _dense_conv(canvas, w, stride):
+    # torch-style symmetric padding k//2 (the production convention — see
+    # blocks.ConvBNReLU; SAME == this at stride 1, misaligned at stride 2)
+    p = w.shape[0] // 2
     return jax.lax.conv_general_dilated(
-        canvas, w, (stride, stride), "SAME",
+        canvas, w, (stride, stride), ((p, p), (p, p)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 

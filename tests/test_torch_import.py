@@ -1,0 +1,398 @@
+"""Torch-checkpoint importer tests.
+
+Three tiers of evidence that reference ``.pth`` checkpoints load correctly:
+
+1. Layout transforms verified against torch layers directly (ConvTranspose2d
+   relayout, MHA in_proj mapping vs the reference CosineMultiheadAttention).
+2. Export -> import round trip over the full gd_mae model tree (every leaf
+   mapped, bitwise recovery).
+3. FULL-STACK forward parity: the reference detection graph
+   (DynVFE -> SPTBackbone -> SSTBEVBackbone -> AnchorHeadSingle, imported by
+   file path and run on CPU torch through ref_loader's spconv/torch_scatter
+   stubs) against our flax graph with the reference's exported weights, on
+   the same point cloud — cls/box predictions must agree to ~1e-3.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import ref_loader
+from gdmae_tpu.runtime import torch_import
+
+
+def test_deconv_relayout_matches_convtranspose():
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    ct = torch.nn.ConvTranspose2d(8, 4, 2, stride=2, bias=False)
+    x = torch.randn(2, 8, 5, 6)
+    with torch.no_grad():
+        ref = ct(x).permute(0, 2, 3, 1).numpy()  # (2, 10, 12, 4)
+
+    k = torch_import._to_flax(ct.weight.detach().numpy(), "deconv",
+                              (1, 1, 8, 2 * 2 * 4))
+    assert k is not None
+    xj = jnp.asarray(x.permute(0, 2, 3, 1).numpy())  # NHWC
+    y = jax.lax.conv_general_dilated(
+        xj, jnp.asarray(k), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    b, h, w, _ = y.shape
+    y = y.reshape(b, h, w, 2, 2, 4).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(b, h * 2, w * 2, 4)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_mha_mapping_matches_reference_cosine_attention():
+    """Our CosineMultiheadAttention with transform-mapped torch weights must
+    reproduce the reference cosine MHA (cosine_msa.py) on a padded window."""
+    torch = pytest.importorskip("torch")
+    cosine_msa = ref_loader.load_ref("pcdet.models.model_utils.cosine_msa")
+    from gdmae_tpu.models.model_utils.sst_layers import (
+        CosineMultiheadAttention as OursMHA)
+
+    torch.manual_seed(1)
+    c, h, t, nwin = 64, 4, 10, 3
+    ref = cosine_msa.CosineMultiheadAttention(
+        c, h, dropout=0.0, cosine=True, tau_min=0.01)
+    with torch.no_grad():
+        ref.tau.copy_(torch.tensor(0.7).reshape(1, 1, 1))
+    ref.eval()
+
+    rng = np.random.RandomState(2)
+    feats = rng.randn(nwin, t, c).astype(np.float32)
+    pos = rng.randn(nwin, t, c).astype(np.float32)
+    valid = rng.rand(nwin, t) > 0.3
+    valid[:, 0] = True  # at least one valid token per window
+
+    qk = torch.as_tensor(feats + pos).permute(1, 0, 2)  # (T, N, C)
+    v = torch.as_tensor(feats).permute(1, 0, 2)
+    key_padding = torch.as_tensor(~valid)  # True = ignore
+    with torch.no_grad():
+        out_ref, _ = ref(qk, qk, value=v, key_padding_mask=key_padding)
+    out_ref = out_ref.permute(1, 0, 2).numpy() * valid[..., None]
+
+    ours = OursMHA(d_model=c, nhead=h, cosine=True, tau_min=0.01)
+    params = {
+        "in_proj_weight": jnp.asarray(
+            torch_import._to_flax(ref.in_proj_weight.detach().numpy(), "t",
+                                  (c, 3 * c))),
+        "in_proj_bias": jnp.asarray(ref.in_proj_bias.detach().numpy()),
+        "tau": jnp.asarray(
+            torch_import._to_flax(ref.tau.detach().numpy(), "tau",
+                                  (1, 1, 1))),
+        "out_proj": {
+            "kernel": jnp.asarray(
+                torch_import._to_flax(
+                    ref.out_proj.weight.detach().numpy(), "t", (c, c))),
+            "bias": jnp.asarray(ref.out_proj.bias.detach().numpy()),
+        },
+    }
+    out = ours.apply({"params": params}, jnp.asarray(feats + pos),
+                     jnp.asarray(feats), jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(out), out_ref,
+                               rtol=2e-4, atol=2e-4)
+
+
+def _small_meta():
+    from gdmae_tpu.models.detectors.detector3d_template import DatasetMeta
+    return DatasetMeta(
+        class_names=["Car", "Pedestrian", "Cyclist"],
+        point_cloud_range=[0, -10.24, -3, 20.48, 10.24, 1],
+        voxel_size=[0.32, 0.32, 4],
+        grid_size=[64, 64],
+        num_point_features=4,
+        max_points=2048,
+        max_pillars=2048,
+    )
+
+
+@pytest.mark.slow
+def test_export_import_roundtrip_full_coverage():
+    """Every leaf of the gd_mae model maps to a reference name, and
+    export -> import recovers the tree bitwise."""
+    from pathlib import Path
+    from gdmae_tpu.config import cfg_from_yaml_file
+    from gdmae_tpu.models.detectors.detector3d_template import build_network
+    from gdmae_tpu.runtime import train as train_lib
+
+    repo = Path(__file__).resolve().parent.parent
+    cfg = cfg_from_yaml_file(str(repo / "tools/cfgs/kitti_models/gd_mae.yaml"))
+    meta = _small_meta()
+    model = build_network(cfg.MODEL, num_class=3, dataset=meta)
+    rng = np.random.RandomState(0)
+    n = meta.max_points
+    pts = np.zeros((1, n, 4), np.float32)
+    pts[..., 0] = rng.uniform(0.5, 20.0, (1, n))
+    pts[..., 1] = rng.uniform(-10, 10, (1, n))
+    pts[..., 2] = rng.uniform(-2.5, 0.5, (1, n))
+    batch = {"points": jnp.asarray(pts),
+             "point_mask": jnp.ones((1, n), bool),
+             "gt_boxes": jnp.zeros((1, 4, 8), jnp.float32)}
+    params, batch_stats = train_lib.init_model(model, batch, seed=0)
+
+    # deconv strides from the FUSE_LAYER config
+    strides = {}
+    for i, src in enumerate(cfg.MODEL.BACKBONE_3D.FEATURES_SOURCE):
+        s = int(cfg.MODEL.BACKBONE_3D.FUSE_LAYER[src].UPSAMPLE_STRIDE)
+        strides[f"backbone_3d/fuse/deblock_{i}/kernel"] = s
+    sd = torch_import.export_torch_state(params, batch_stats,
+                                         deconv_strides=strides)
+
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, params)
+    zeroed_bs = jax.tree_util.tree_map(jnp.zeros_like, batch_stats)
+    new_p, new_bs, report = torch_import.import_torch_state(
+        sd, zeroed, zeroed_bs)
+    assert report["unmapped"] == [], report["unmapped"][:10]
+    assert report["skipped"] == [], report["skipped"][:10]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), params, new_p)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), batch_stats, new_bs)
+
+
+@pytest.mark.slow
+def test_shape_tolerant_partial_load():
+    """Mismatched / missing checkpoint entries are skipped, everything else
+    loads (reference _load_state_dict(strict=False) semantics)."""
+    from pathlib import Path
+    from gdmae_tpu.config import cfg_from_yaml_file
+    from gdmae_tpu.models.detectors.detector3d_template import build_network
+    from gdmae_tpu.runtime import train as train_lib
+
+    repo = Path(__file__).resolve().parent.parent
+    cfg = cfg_from_yaml_file(str(repo / "tools/cfgs/kitti_models/gd_mae.yaml"))
+    meta = _small_meta()
+    model = build_network(cfg.MODEL, num_class=3, dataset=meta)
+    rng = np.random.RandomState(0)
+    n = meta.max_points
+    pts = np.zeros((1, n, 4), np.float32)
+    pts[..., 0] = rng.uniform(0.5, 20.0, (1, n))
+    pts[..., 1] = rng.uniform(-10, 10, (1, n))
+    batch = {"points": jnp.asarray(pts),
+             "point_mask": jnp.ones((1, n), bool),
+             "gt_boxes": jnp.zeros((1, 4, 8), jnp.float32)}
+    params, batch_stats = train_lib.init_model(model, batch, seed=0)
+    sd = torch_import.export_torch_state(params, batch_stats)
+    # corrupt one entry's shape, drop another
+    sd["dense_head.conv_cls.weight"] = np.zeros((7, 7, 7, 7), np.float32)
+    del sd["backbone_2d.conv_layer.0.0.weight"]
+    _, _, report = torch_import.import_torch_state(sd, params, batch_stats)
+    reasons = {p: r for p, _, r in report["skipped"]}
+    assert reasons.get("dense_head/conv_cls/kernel") == "shape"
+    assert reasons.get("backbone_2d/conv_0/kernel") == "missing"
+    assert len(report["loaded"]) > 100
+
+
+@pytest.mark.slow
+def test_full_detection_forward_parity():
+    """Reference torch detection graph vs ours with imported weights on the
+    same point cloud: cls/box predictions agree (the mAP-parity proxy the
+    reference's eval protocol would measure, without dataset files)."""
+    torch = pytest.importorskip("torch")
+    from pathlib import Path
+    from gdmae_tpu.config import cfg_from_yaml_file
+    from gdmae_tpu.models.detectors.detector3d_template import build_network
+    from gdmae_tpu.runtime import train as train_lib
+
+    repo = Path(__file__).resolve().parent.parent
+    cfg = cfg_from_yaml_file(str(repo / "tools/cfgs/kitti_models/gd_mae.yaml"))
+    meta = _small_meta()
+    grid = np.array([64, 64, 1])
+    pcr = np.array(meta.point_cloud_range, np.float32)
+    vsz = [0.32, 0.32, 4.0]
+
+    # ---- reference modules (CPU torch, spconv/torch_scatter stubs) ----
+    dyn_vfe = ref_loader.load_ref("pcdet.models.backbones_3d.vfe.dyn_vfe")
+    spt = ref_loader.load_ref("pcdet.models.backbones_3d.spt_backbone")
+    bev = ref_loader.load_ref("pcdet.models.backbones_2d.sst_bev_backbone")
+    heads = ref_loader.load_ref("pcdet.models.dense_heads.anchor_head_single")
+
+    torch.manual_seed(0)
+    r_vfe = dyn_vfe.DynVFE(
+        model_cfg=cfg.MODEL.VFE, num_point_features=4, voxel_size=vsz,
+        point_cloud_range=pcr, grid_size=grid)
+    r_spt = spt.SPTBackbone(
+        model_cfg=cfg.MODEL.BACKBONE_3D, input_channels=128,
+        grid_size=np.array([64, 64]), voxel_size=vsz, point_cloud_range=pcr)
+    r_bev = bev.SSTBEVBackbone(model_cfg=cfg.MODEL.BACKBONE_2D)
+    r_head = heads.AnchorHeadSingle(
+        model_cfg=cfg.MODEL.DENSE_HEAD, input_channels=128, num_class=3,
+        class_names=list(cfg.CLASS_NAMES), grid_size=grid,
+        point_cloud_range=pcr, predict_boxes_when_training=False)
+    mods = {"vfe": r_vfe, "backbone_3d": r_spt, "backbone_2d": r_bev,
+            "dense_head": r_head}
+    # randomize BN running stats so the import of mean/var is exercised
+    g = torch.Generator().manual_seed(3)
+    for m in (r_vfe, r_spt, r_bev, r_head):
+        m.eval()
+        for sub in m.modules():
+            if hasattr(sub, "running_mean") and sub.running_mean is not None:
+                sub.running_mean.normal_(0.0, 0.05, generator=g)
+                sub.running_var.uniform_(0.7, 1.4, generator=g)
+
+    rng = np.random.RandomState(4)
+    n = meta.max_points
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = rng.uniform(0.5, 20.0, n)
+    pts[:, 1] = rng.uniform(-10.0, 10.0, n)
+    pts[:, 2] = rng.uniform(-2.5, 0.5, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+
+    t_pts = torch.as_tensor(
+        np.concatenate([np.zeros((n, 1), np.float32), pts], axis=1))
+    bd = {"points": t_pts, "batch_size": 1}
+    with torch.no_grad():
+        for m in (r_vfe, r_spt, r_bev, r_head):
+            bd = m(bd)
+    ref_cls = bd["batch_cls_preds"].numpy()   # (1, A, 3)
+    ref_box = bd["batch_box_preds"].numpy()   # (1, A, 7)
+
+    # ---- ours, with the reference's weights ----
+    sd = {}
+    for prefix, m in mods.items():
+        for k, v in m.state_dict().items():
+            sd[f"{prefix}.{k}"] = v.detach().numpy()
+
+    cfg.MODEL.BACKBONE_3D.pop("TPU_WINDOW_CAPS", None)  # default caps: no overflow
+    model = build_network(cfg.MODEL, num_class=3, dataset=meta)
+    batch = {"points": jnp.asarray(pts[None]),
+             "point_mask": jnp.ones((1, n), bool),
+             "gt_boxes": jnp.zeros((1, 4, 8), jnp.float32)}
+    params, batch_stats = train_lib.init_model(model, batch, seed=0)
+    params, batch_stats, report = torch_import.import_torch_state(
+        sd, params, batch_stats)
+    assert report["unmapped"] == [], report["unmapped"][:10]
+    assert report["skipped"] == [], report["skipped"][:10]
+
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      batch, train=False)
+    got_cls = np.asarray(out["batch_cls_preds"], np.float32)
+    got_box = np.asarray(out["batch_box_preds"], np.float32)
+
+    assert got_cls.shape == ref_cls.shape, (got_cls.shape, ref_cls.shape)
+    np.testing.assert_allclose(got_cls, ref_cls, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got_box, ref_box, rtol=2e-3, atol=2e-3)
+
+
+def test_center_separate_head_mapping_parity():
+    """Reference SeparateHead (torch, center_head.py:11-45) vs ours with
+    imported weights — covers the heads_list.{g}.{name}.{k} mapping incl.
+    the final-conv Sequential index."""
+    torch = pytest.importorskip("torch")
+    center_head = ref_loader.load_ref("pcdet.models.dense_heads.center_head")
+    from gdmae_tpu.models.dense_heads.center_head import (
+        SeparateHead as OursSH)
+
+    torch.manual_seed(5)
+    sep = {"center": {"out_channels": 2, "num_conv": 2},
+           "hm": {"out_channels": 3, "num_conv": 3}}
+    ref = center_head.SeparateHead(input_channels=32, sep_head_dict=sep,
+                                   use_bias=False)
+    g = torch.Generator().manual_seed(6)
+    for sub in ref.modules():
+        if hasattr(sub, "running_mean") and sub.running_mean is not None:
+            sub.running_mean.normal_(0.0, 0.05, generator=g)
+            sub.running_var.uniform_(0.7, 1.4, generator=g)
+    ref.eval()
+    x = torch.randn(2, 32, 8, 8)
+    with torch.no_grad():
+        out_ref = {k: v.permute(0, 2, 3, 1).numpy()
+                   for k, v in ref(x).items()}
+
+    sd = {f"dense_head.heads_list.0.{k}": v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    ours = OursSH(sep_head_dict=sep, use_bias=False)
+    xj = jnp.asarray(x.permute(0, 2, 3, 1).numpy())
+    variables = ours.init(jax.random.PRNGKey(0), xj, train=False)
+    params = {"dense_head": {"head_0": dict(variables["params"])}}
+    bstats = {"dense_head": {"head_0": dict(variables.get(
+        "batch_stats", {}))}}
+    new_p, new_bs, report = torch_import.import_torch_state(sd, params, bstats)
+    assert report["unmapped"] == [], report["unmapped"][:10]
+    assert report["skipped"] == [], report["skipped"][:10]
+    got = ours.apply(
+        {"params": new_p["dense_head"]["head_0"],
+         "batch_stats": new_bs["dense_head"]["head_0"]}, xj, train=False)
+    for k in out_ref:
+        np.testing.assert_allclose(np.asarray(got[k], np.float32),
+                                   out_ref[k], rtol=2e-4, atol=2e-4)
+
+    # export round-trip: the final conv lands back at Sequential index
+    # num_conv-1
+    sd2 = torch_import.export_torch_state(params=new_p, batch_stats=new_bs)
+    assert "dense_head.heads_list.0.center.1.weight" in sd2
+    assert "dense_head.heads_list.0.hm.2.weight" in sd2
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("residual", [False, True])
+def test_voxel_backbone8x_forward_parity(residual):
+    """Reference VoxelBackBone8x / VoxelResBackBone8x (torch, dense-emulated
+    spconv3d stubs) vs ours with imported weights on the same voxel set."""
+    torch = pytest.importorskip("torch")
+    spb = ref_loader.load_ref("pcdet.models.backbones_3d.spconv_backbone")
+    from gdmae_tpu.config import EasyDict
+    from gdmae_tpu.models.backbones_3d.spconv_backbone import (
+        VoxelBackBone8x, VoxelResBackBone8x)
+
+    nx, ny, nz = 16, 16, 24  # z-chain 25->13->7->3->1 through conv_out
+    torch.manual_seed(7)
+    cls_ref = (spb.VoxelResBackBone8x if residual else spb.VoxelBackBone8x)
+    ref = cls_ref(model_cfg=EasyDict({}), input_channels=4,
+                  grid_size=np.array([nx, ny, nz]))
+    g = torch.Generator().manual_seed(8)
+    ref.eval()
+    for sub in ref.modules():
+        if hasattr(sub, "running_mean") and sub.running_mean is not None:
+            sub.running_mean.normal_(0.0, 0.05, generator=g)
+            sub.running_var.uniform_(0.7, 1.4, generator=g)
+
+    rng = np.random.RandomState(9)
+    v, v_cap = 64, 768  # strided stages DILATE the active set (3x3x3
+    # footprint): per-sample capacity must exceed the input count
+    cells = rng.choice(nz * ny * nx, size=v, replace=False)
+    cells.sort()
+    iz, iy, ix = (cells // (ny * nx), (cells // nx) % ny, cells % nx)
+    feats = rng.randn(v, 4).astype(np.float32)
+
+    t_coords = torch.as_tensor(np.stack(
+        [np.zeros(v, np.int64), iz, iy, ix], axis=1).astype(np.int32))
+    bd = {"voxel_features": torch.as_tensor(feats),
+          "voxel_coords": t_coords, "batch_size": 1}
+    with torch.no_grad():
+        bd = ref(bd)
+    ref_dense = bd["encoded_spconv_tensor"].dense().numpy()  # (1,128,Z,Y,X)
+
+    sd = {f"backbone_3d.{k}": p.detach().numpy()
+          for k, p in ref.state_dict().items()}
+
+    cls_ours = VoxelResBackBone8x if residual else VoxelBackBone8x
+    ours = cls_ours(model_cfg=EasyDict({}), input_channels=4,
+                    grid_size=(nx, ny, nz), voxel_size=(0.1, 0.1, 0.1),
+                    point_cloud_range=(0, 0, 0, 1.6, 1.6, 0.8),
+                    max_pillars=v_cap)
+    coords_pad = np.zeros((v_cap, 3), np.int32)
+    coords_pad[:v] = np.stack([iz, iy, ix], axis=1)
+    feats_pad = np.zeros((v_cap, 4), np.float32)
+    feats_pad[:v] = feats
+    batch = {
+        "voxel_coords": jnp.asarray(coords_pad[None]),
+        "voxel_features": jnp.asarray(feats_pad[None]),
+        "voxel_mask": jnp.asarray((np.arange(v_cap) < v)[None]),
+    }
+    variables = ours.init(jax.random.PRNGKey(0), batch, train=False)
+    params = {"backbone_3d": dict(variables["params"])}
+    bstats = {"backbone_3d": dict(variables["batch_stats"])}
+    new_p, new_bs, report = torch_import.import_torch_state(sd, params, bstats)
+    assert report["unmapped"] == [], report["unmapped"][:10]
+    assert report["skipped"] == [], report["skipped"][:10]
+
+    out = ours.apply(
+        {"params": new_p["backbone_3d"],
+         "batch_stats": new_bs["backbone_3d"]}, batch, train=False)
+    got = np.asarray(out["encoded_voxel_features"], np.float32)  # (1,Z,Y,X,C)
+    ref_d = np.transpose(ref_dense, (0, 2, 3, 4, 1))
+    assert got.shape == ref_d.shape, (got.shape, ref_d.shape)
+    np.testing.assert_allclose(got, ref_d, rtol=2e-3, atol=2e-3)

@@ -185,10 +185,18 @@ def main():
     from gdmae_tpu.models.model_utils.fusion_utils import fuse_conv_bn
 
     def eval_ckpt(ckpt_path, out_dir):
-        with open(ckpt_path, "rb") as f:
-            payload = pickle.load(f)
-        p = serialization.from_bytes(params, payload["params"])
-        bs = serialization.from_bytes(batch_stats, payload["batch_stats"])
+        if str(ckpt_path).endswith(".pth"):
+            # reference torch checkpoint: name-mapped partial import
+            from gdmae_tpu.runtime import torch_import
+            sd = torch_import.load_torch_checkpoint(str(ckpt_path))
+            p, bs, _ = torch_import.import_torch_state(
+                sd, params, batch_stats, logger=logger)
+            payload = {"epoch": "torch"}
+        else:
+            with open(ckpt_path, "rb") as f:
+                payload = pickle.load(f)
+            p = serialization.from_bytes(params, payload["params"])
+            bs = serialization.from_bytes(batch_stats, payload["batch_stats"])
         if args.fuse_conv_bn:
             p, bs = fuse_conv_bn(p, bs)
         logger.info("loaded %s (epoch %s)", ckpt_path, payload.get("epoch"))

@@ -143,9 +143,17 @@ def main():
 
     start_epoch = 0
     if args.pretrained_model:
-        new_params, new_bs = ckpt_lib.load_params_partial(
-            args.pretrained_model, state.params, state.batch_stats,
-            logger=logger, rename_map={"encoder": "backbone_3d"})
+        if args.pretrained_model.endswith(".pth"):
+            # reference torch checkpoint (published weights / torch-trained
+            # MAE encoders): name-mapped layout-transformed partial load
+            from gdmae_tpu.runtime import torch_import
+            sd = torch_import.load_torch_checkpoint(args.pretrained_model)
+            new_params, new_bs, _ = torch_import.import_torch_state(
+                sd, state.params, state.batch_stats, logger=logger)
+        else:
+            new_params, new_bs = ckpt_lib.load_params_partial(
+                args.pretrained_model, state.params, state.batch_stats,
+                logger=logger, rename_map={"encoder": "backbone_3d"})
         state = state.replace(params=new_params, batch_stats=new_bs)
     latest = ckpt_lib.latest_checkpoint(ckpt_dir) if args.ckpt is None else args.ckpt
     if latest is not None and Path(str(latest)).exists():
