@@ -62,10 +62,12 @@ def main():
     if pack:
         from gdmae_tpu.ops import window as window_ops
         cfg.MODEL.BACKBONE_3D.TPU_PACK_POW2 = True
+        min_t = int(os.environ.get("GDMAE_PACK_MIN_T", "1"))
+        cfg.MODEL.BACKBONE_3D.TPU_PACK_MIN_T = min_t
         drop_specs = window_ops.packing_specs(
             window_ops.drop_specs_from_cfg(
                 cfg.MODEL.BACKBONE_3D.SST_BLOCK_LIST[0]
-                .PREPROCESS.DROP_INFO["train"]), 64)
+                .PREPROCESS.DROP_INFO["train"]), 64, min_t=min_t)
     cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS = [
         list(c) for c in window_caps_for(cap_pts, drop_specs=drop_specs)]
     print(f"window caps: {cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS}",
@@ -142,12 +144,69 @@ def main():
 
     scans_per_sec = batch_size * iters / best
     baseline = A100_EST_SCANS_PER_SEC * TARGET_MULT
-    print(json.dumps({
+
+    # ---- p50 per-scan detect latency (BASELINE.json's second metric) ----
+    # jitted gd_mae.yaml inference: forward + in-graph fixed-K NMS, batch 1
+    # (reference timing surface: tools/eval_utils/eval_utils.py:58-66).
+    det_p50_ms = None
+    if os.environ.get("GDMAE_BENCH_DETECT", "1") != "0":
+        det_cfg = cfg_from_yaml_file(
+            str(REPO / "tools/cfgs/kitti_models/gd_mae.yaml"))
+        # zero-overflow caps for the UNMASKED pillar set of this data (the
+        # YAML's caps are tuned for real KITTI scans)
+        det_cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS = [
+            list(c) for c in window_caps_for(cap_pts, mask_ratio=0.0)]
+        det_model = build_network(
+            det_cfg.MODEL, num_class=3, dataset=meta, dtype=dtype)
+        det_pts = synth_scan(np.random.RandomState(1), 1, meta.max_points)
+        det_batch = {
+            "points": jnp.asarray(det_pts),
+            "point_mask": jnp.ones((1, meta.max_points), bool),
+        }
+        det_params, det_bs = train_lib.init_model(det_model, det_batch, seed=0)
+
+        @jax.jit
+        def detect(batch):
+            out = det_model.apply(
+                {"params": det_params, "batch_stats": det_bs},
+                batch, train=False)
+            return out["final_boxes"], out["final_scores"], out["final_valid"]
+
+        boxes, scores, valid = detect(det_batch)
+        float(jnp.sum(scores))  # compile fence
+        lat = []
+        for i in range(30 if on_tpu else 3):
+            t0 = time.perf_counter()
+            boxes, scores, valid = detect(det_batch)
+            float(jnp.sum(scores))
+            lat.append(time.perf_counter() - t0)
+        det_p50_ms = float(np.median(lat) * 1000)
+
+    # MFU from XLA's own flop count for the compiled train step
+    mfu_pct = None
+    try:
+        cost = jax.jit(step).lower(
+            state, batch, jax.random.PRNGKey(0)).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        peak = 197e12 if on_tpu else 1e12  # v5e bf16 nominal
+        if flops > 0:
+            mfu_pct = 100.0 * flops * iters / best / peak
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
+    out = {
         "metric": "mae_pretrain_scans_per_sec_per_chip",
         "value": round(scans_per_sec, 2),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / baseline, 3),
-    }))
+    }
+    if mfu_pct is not None:
+        out["mfu_pct"] = round(mfu_pct, 2)
+    if det_p50_ms is not None:
+        out["detect_p50_ms"] = round(det_p50_ms, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -158,6 +158,7 @@ class SSTBlock(nn.Module):
     # refine drop levels into pow2 packing sub-levels (TPU_PACK_POW2);
     # win_caps must then have one entry per refined level
     pack_pow2: bool = False
+    pack_min_t: int = 1  # smallest pow2 packing sub-level (TPU_PACK_MIN_T)
     # profiling-only ablations (TPU_ABLATE): 'attn' keeps the bucket plans
     # but skips the transformer math; 'plans' skips plan building too
     ablate: Tuple[str, ...] = ()
@@ -222,7 +223,7 @@ class SSTBlock(nn.Module):
         )
         if self.pack_pow2:
             drop_specs = window_ops.packing_specs(
-                drop_specs, window[0] * window[1])
+                drop_specs, window[0] * window[1], min_t=self.pack_min_t)
         assert len(self.win_caps) == len(drop_specs), (
             f"win_caps has {len(self.win_caps)} entries but the "
             f"{'pow2-refined ' if self.pack_pow2 else ''}drop spec has "
@@ -235,22 +236,27 @@ class SSTBlock(nn.Module):
             plans = None
             participate = mask
         else:
-            plans = [
-                window_ops.plan_to_tokens(
-                    window_ops.build_bucket_plan(
-                        occ, (ny, nx), window, shift, drop_specs, self.win_caps),
-                    c2t, tcell, m)
+            raw_plans = [
+                window_ops.build_bucket_plan(
+                    occ, (ny, nx), window, shift, drop_specs, self.win_caps)
                 for shift in ((0, 0), (window[0] // 2, window[1] // 2))
             ]
-            # tokens covered by both shifts participate in the encoder;
-            # others (bucket overflow only) keep their input features,
-            # mirroring the reference's token-drop residual
-            # (spt_backbone.py:260-262)
-            participate = None
-            for plan in plans:
-                cover = plan.inv_idx < plan.total_tokens  # (B, M)
-                participate = cover if participate is None else (participate & cover)
-            participate = participate & mask
+            if "p2t" in self.ablate:  # profiling: skip plan_to_tokens
+                plans = raw_plans
+                participate = mask  # canvas-space inv (profiling only)
+            else:
+                plans = [window_ops.plan_to_tokens(p, c2t, tcell, m)
+                         for p in raw_plans]
+                # tokens covered by both shifts participate in the encoder;
+                # others (bucket overflow only) keep their input features,
+                # mirroring the reference's token-drop residual
+                # (spt_backbone.py:260-262)
+                participate = None
+                for plan in plans:
+                    cover = plan.inv_idx < plan.total_tokens  # (B, M)
+                    participate = cover if participate is None else \
+                        (participate & cover)
+                participate = participate & mask
 
         if plans is not None and "attn" in self.ablate:
             # keep the full plan construction alive (defeat DCE) but skip
@@ -258,6 +264,8 @@ class SSTBlock(nn.Module):
             dep = jnp.zeros((), self.dtype)
             for plan in plans:
                 dep = dep + plan.inv_idx.sum().astype(self.dtype) * 1e-30
+                if "tokarrays" in self.ablate:
+                    continue  # profiling: let DCE drop the per-level arrays
                 for s, yx in zip(plan.tok_src, plan.tok_yx):
                     dep = dep + (s.sum() + yx.sum()).astype(self.dtype) * 1e-30
             tokens = tokens + dep
@@ -464,7 +472,8 @@ class SPTBackbone(nn.Module):
             window = (int(blk.PREPROCESS.WINDOW_SHAPE[1]), int(blk.PREPROCESS.WINDOW_SHAPE[0]))
             if bool(cfg.get("TPU_PACK_POW2", False)):
                 drop_specs = window_ops.packing_specs(
-                    drop_specs, window[0] * window[1])
+                    drop_specs, window[0] * window[1],
+                    min_t=int(cfg.get("TPU_PACK_MIN_T", 1)))
             out.append(window_ops.default_win_caps(
                 (ny, nx), window, self.max_pillars, drop_specs))
         return out
@@ -496,6 +505,7 @@ class SPTBackbone(nn.Module):
                 remat=bool(cfg.get("TPU_REMAT", True)),
                 window_mode=str(cfg.get("TPU_WINDOW_MODE", "bucket")),
                 pack_pow2=bool(cfg.get("TPU_PACK_POW2", False)),
+                pack_min_t=int(cfg.get("TPU_PACK_MIN_T", 1)),
                 ablate=tuple(cfg.get("TPU_ABLATE", ())),
                 dtype=self.dtype, name=f"sst_block_{i}",
             )(tokens, coords, mask, occ, canvas_in=canvas, cell2tok_in=c2t,

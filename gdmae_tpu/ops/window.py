@@ -56,7 +56,7 @@ def drop_specs_from_cfg(drop_info_cfg) -> Tuple[DropSpec, ...]:
 
 def packing_specs(drop_specs: Tuple[DropSpec, ...], cells: int,
                   sizes: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64),
-                  ) -> Tuple[DropSpec, ...]:
+                  min_t: int = 1) -> Tuple[DropSpec, ...]:
     """Refine drop levels into power-of-two packing sub-levels.
 
     Drop semantics are IDENTICAL to ``drop_specs`` (a window in level l
@@ -68,18 +68,25 @@ def packing_specs(drop_specs: Tuple[DropSpec, ...], cells: int,
     at stage 1 of the MAE bench workload.
 
     Every returned ``max_tokens`` divides 128, so the whole stream stays on
-    the packed 128-block attention path (:func:`plan_block_ts`)."""
+    the packed 128-block attention path (:func:`plan_block_ts`).
+    ``min_t`` truncates the size table from below (small sub-window levels
+    produce (cap, T) plan tensors whose minor dim tiles poorly on TPU; the
+    first kept size absorbs all smaller counts)."""
+    sizes = tuple(t for t in sizes if t >= min_t) or (sizes[-1],)
     out = []
     for spec in drop_specs:
         m_l = min(spec.max_tokens, cells)
         lo, hi = max(spec.lower, 1), spec.upper
-        for t in sizes:
+        for i, t in enumerate(sizes):
+            # the first size in the table also absorbs all smaller counts
+            # (so truncated tables like (8, 16, 32, 64) stay total)
+            floor = lo if i == 0 else max(lo, t // 2 + 1)
             if t >= m_l:
-                slo, shi = max(lo, t // 2 + 1), hi
+                slo, shi = floor, hi
                 if slo < shi:
                     out.append(DropSpec(m_l, slo, shi))
                 break
-            slo, shi = max(lo, t // 2 + 1), min(hi, t + 1)
+            slo, shi = floor, min(hi, t + 1)
             if slo < shi:
                 out.append(DropSpec(t, slo, shi))
         else:
@@ -177,50 +184,78 @@ def _plan_single(occ_flat, grid_hw, window, shift, drop_specs, win_caps):
         in_range = (counts >= max(spec.lower, 1)) & (counts < spec.upper)
         level = jnp.where(in_range, li, level)
 
-    # bucket slot assignment WITHOUT sorting/scattering (XLA TPU sorts are
-    # slow; scatters serialize): the slot of window w inside its level's
-    # bucket is its rank among same-level windows, a cumsum; the window at
-    # slot s of level li is found by binary search over that cumsum.
+    # bucket slot assignment: ONE stable partition of the g windows by
+    # level (a single small sort) + per-level gathers.  The earlier form
+    # ran a per-level ``jnp.searchsorted`` over the level cumsum, which
+    # lowers to a serial scan on TPU — fine at 3 drop levels (~10 ms/step
+    # at MAE-bench scale) but ~65 ms/step at 7 pow2-packing levels.
     csum_l = [jnp.cumsum((level == li).astype(jnp.int32)) for li in range(n_lvl)]
     n_per_level = [c[-1] for c in csum_l]
+    # windows ordered level-major (raster-stable within a level): the
+    # window at slot s of level li is sorted_wins[lvl_start[li] + s]
+    sorted_wins = jnp.sort(level * g + jnp.arange(g, dtype=jnp.int32)) % g
+    lvl_start = [jnp.zeros((), jnp.int32)]
+    for li in range(n_lvl):
+        lvl_start.append(lvl_start[-1] + n_per_level[li])
     # rank of each window within its own level (0-based)
     rank_in_level = jnp.zeros((g,), jnp.int32)
     for li in range(n_lvl):
         rank_in_level = jnp.where(level == li, csum_l[li] - 1, rank_in_level)
 
+    # ALL levels' bucket slots in ONE (W_total, cells) computation with
+    # STATIC level segmentation (trace-time numpy constants), then carved
+    # into the per-level (cap, T) views by static slices.  Two failure
+    # modes this form avoids (both measured on v5e):
+    #   * a per-level Python loop emits O(n_lvl) copies of every op — with
+    #     7 pow2 packing levels the extra ~12k HLO ops cost ~55 ms/step
+    #     (kernel count, not bytes);
+    #   * a flat (S,) form needs a SCALAR-granularity comp gather
+    #     (comp[s*cells+r]), ~25 ms/step slower — this keeps the comp
+    #     gather at 64-int row granularity.
+    trash = ny * nx
+    t_ls = [min(spec.max_tokens, cells) for spec in drop_specs]
+    caps_np = list(win_caps)
+    w_total = sum(caps_np)
+    w_off = np.concatenate([[0], np.cumsum(caps_np)]).astype(np.int64)
+    seg_level = np.repeat(np.arange(n_lvl), caps_np).astype(np.int32)
+    seg_w = (np.arange(w_total) - w_off[seg_level]).astype(np.int32)
+    # static per-window-slot column validity: col < T of the slot's level
+    col_ok = (np.arange(cells)[None, :]
+              < np.asarray(t_ls)[seg_level][:, None])  # (W, cells)
+
+    seg_w_j = jnp.asarray(seg_w)
+    # per-slot level scalars via static-mask where chains (see the inv
+    # note below: tiny-table gathers turn into scalar-row gathers at >=4
+    # levels)
+    npl_w = jnp.zeros((w_total,), jnp.int32)
+    start_w = jnp.zeros((w_total,), jnp.int32)
+    for li in range(n_lvl):
+        sel = jnp.asarray(seg_level == li)
+        npl_w = jnp.where(sel, n_per_level[li], npl_w)
+        start_w = jnp.where(sel, lvl_start[li], start_w)
+    w_valid_w = seg_w_j < npl_w                     # (W,)
+    sel_win_w = sorted_wins[jnp.clip(start_w + seg_w_j, 0, g - 1)]
+    cnt_w = counts[sel_win_w]                       # (W,)
+    cell_w = comp[sel_win_w]                        # (W, cells) row gather
+    col = jnp.asarray(np.arange(cells, dtype=np.int32))[None, :]
+    iy_w = cell_w // wx
+    ix_w = cell_w % wx
+    y_w = (sel_win_w // nwx)[:, None] * wy + iy_w - sy
+    x_w = (sel_win_w % nwx)[:, None] * wx + ix_w - sx
+    t_valid_w = (w_valid_w[:, None] & (col < cnt_w[:, None])
+                 & jnp.asarray(col_ok))
+    flat_w = jnp.where(t_valid_w, y_w * nx + x_w, trash).astype(jnp.int32)
+    yx_w = jnp.stack([iy_w, ix_w], axis=-1).astype(jnp.int32)
+
     tok_src, tok_valid, tok_yx = [], [], []
     overflow = jnp.zeros((), jnp.int32)
-    trash = ny * nx
-    t_ls, caps_np = [], []
-    for li, spec in enumerate(drop_specs):
-        cap = win_caps[li]
-        t_l = min(spec.max_tokens, cells)
-        t_ls.append(t_l)
-        caps_np.append(cap)
-        slot = jnp.arange(cap, dtype=jnp.int32)
-        w_valid = slot < n_per_level[li]
-        # window id whose rank == slot: first index where csum hits slot+1
-        sel_win = jnp.clip(
-            jnp.searchsorted(csum_l[li], slot + 1, side="left"), 0, g - 1)
-        sel_wy = sel_win // nwx
-        sel_wx = sel_win % nwx
-        sel_cnt = counts[sel_win]
-
-        cell = comp[sel_win][:, :t_l]       # (cap, t_l) in-window cell index
-        iy = cell // wx
-        ix = cell % wx
-        y = sel_wy[:, None] * wy + iy - sy  # true canvas coords
-        x = sel_wx[:, None] * wx + ix - sx
-        t_valid = (
-            w_valid[:, None]
-            & (jnp.arange(t_l, dtype=jnp.int32)[None, :] < sel_cnt[:, None])
-        )
-        flat = y * nx + x
-        flat = jnp.where(t_valid, flat, trash)
-        tok_src.append(flat.astype(jnp.int32))
-        tok_valid.append(t_valid)
-        tok_yx.append(jnp.stack([iy, ix], axis=-1).astype(jnp.int32))
-        overflow = overflow + jnp.maximum(n_per_level[li] - cap, 0)
+    for li in range(n_lvl):
+        a, b_ = int(w_off[li]), int(w_off[li + 1])
+        t_l = t_ls[li]
+        tok_src.append(flat_w[a:b_, :t_l])
+        tok_valid.append(t_valid_w[a:b_, :t_l])
+        tok_yx.append(yx_w[a:b_, :t_l])
+        overflow = overflow + jnp.maximum(n_per_level[li] - caps_np[li], 0)
 
     # inverse map (cell -> position in the per-sample concat bucket list),
     # computed ANALYTICALLY per cell instead of scattering every bucket
@@ -237,9 +272,19 @@ def _plan_single(occ_flat, grid_hw, window, shift, drop_specs, win_caps):
         c_occ.reshape(g * cells)[win_of_cell * cells + incell] - 1)
     lvl_off = np.concatenate(
         [[0], np.cumsum([c * t for c, t in zip(caps_np, t_ls)])]).astype(np.int32)
-    off_c = jnp.asarray(lvl_off[:-1])[jnp.clip(lvl_c, 0, n_lvl - 1)]
-    tl_c = jnp.asarray(np.asarray(t_ls, np.int32))[jnp.clip(lvl_c, 0, n_lvl - 1)]
-    cap_c = jnp.asarray(np.asarray(caps_np, np.int32))[jnp.clip(lvl_c, 0, n_lvl - 1)]
+    # per-cell level -> (offset, T, cap) via explicit WHERE chains over the
+    # static per-level constants.  jnp.asarray(table)[lvl_c] lowers to a
+    # select chain only up to 3 table entries; at >=4 XLA emits a
+    # scalar-row gather over the (Ny*Nx,) map — measured ~40 ms/step at 7
+    # pow2 packing levels (the whole pack=1 plan-cost regression).
+    off_c = jnp.zeros_like(lvl_c)
+    tl_c = jnp.zeros_like(lvl_c)
+    cap_c = jnp.zeros_like(lvl_c)
+    for li in range(n_lvl):
+        sel = lvl_c == li
+        off_c = jnp.where(sel, jnp.int32(lvl_off[li]), off_c)
+        tl_c = jnp.where(sel, jnp.int32(t_ls[li]), tl_c)
+        cap_c = jnp.where(sel, jnp.int32(caps_np[li]), cap_c)
     covered = (
         occ_flat
         & (lvl_c < n_lvl)
@@ -634,14 +679,21 @@ def plan_to_tokens(plan: BucketPlan, cell2tok: jnp.ndarray,
     b = cell2tok.shape[0]
     c2t = jnp.concatenate(
         [cell2tok, jnp.full((b, 1), m, jnp.int32)], axis=1)
+    # ONE level-concatenated gather (per-level loops multiply kernel count)
+    shapes = [s.shape[1:] for s in plan.tok_src]
+    src_flat = jnp.concatenate(
+        [s.reshape(b, -1) for s in plan.tok_src], axis=1)
+    tv_flat = jnp.concatenate(
+        [v.reshape(b, -1) for v in plan.tok_valid], axis=1)
+    s_all = jnp.take_along_axis(c2t, src_flat, axis=1)
+    v_all = tv_flat & (s_all < m)
+    s_all = jnp.where(v_all, s_all, m).astype(jnp.int32)
     new_src, new_valid = [], []
-    for src, tv in zip(plan.tok_src, plan.tok_valid):
-        _, w, t = src.shape
-        s = jnp.take_along_axis(c2t, src.reshape(b, w * t), axis=1)
-        s = s.reshape(b, w, t)
-        v = tv & (s < m)
-        new_src.append(jnp.where(v, s, m).astype(jnp.int32))
-        new_valid.append(v)
+    pos = 0
+    for w, t in shapes:
+        new_src.append(s_all[:, pos:pos + w * t].reshape(b, w, t))
+        new_valid.append(v_all[:, pos:pos + w * t].reshape(b, w, t))
+        pos += w * t
     total = plan.total_tokens
     inv_pad = jnp.concatenate(
         [plan.inv_idx, jnp.full((b, 1), total, jnp.int32)], axis=1)

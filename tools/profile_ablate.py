@@ -64,10 +64,12 @@ def main():
     if _os.environ.get("GDMAE_BENCH_PACK", "1") != "0":
         from gdmae_tpu.ops import window as window_ops
         cfg.MODEL.BACKBONE_3D.TPU_PACK_POW2 = True
+        min_t = int(_os.environ.get("GDMAE_PACK_MIN_T", "1"))
+        cfg.MODEL.BACKBONE_3D.TPU_PACK_MIN_T = min_t
         drop_specs = window_ops.packing_specs(
             window_ops.drop_specs_from_cfg(
                 cfg.MODEL.BACKBONE_3D.SST_BLOCK_LIST[0]
-                .PREPROCESS.DROP_INFO["train"]), 64)
+                .PREPROCESS.DROP_INFO["train"]), 64, min_t=min_t)
     cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS = [
         list(c) for c in window_caps_for(
             synth_scan(np.random.RandomState(0), 4, 16384),
@@ -114,6 +116,10 @@ def main():
         spt_mod.DeconvFuse = Fuse1x1
     if "noattn" in variants:
         cfg.MODEL.BACKBONE_3D.TPU_ABLATE = ["attn"]
+    if "nop2t" in variants:  # plans w/o plan_to_tokens (requires noattn)
+        cfg.MODEL.BACKBONE_3D.TPU_ABLATE = ["attn", "p2t"]
+    if "notok" in variants:  # plans w/o per-level tok arrays (req. noattn)
+        cfg.MODEL.BACKBONE_3D.TPU_ABLATE = ["attn", "tokarrays"]
     if "noplans" in variants:
         cfg.MODEL.BACKBONE_3D.TPU_ABLATE = ["plans"]
     if "novfe" in variants:
@@ -226,7 +232,7 @@ def main():
         spt_mod2.scatter_pillars_to_canvas = fake_scatter
         spt_mod2.gather_canvas_at = fake_gather
         window_mod.occupancy_from_coords = fake_occ
-    known = {"full", "sgd", "noloss", "nofuse", "noattn", "noplans", "novfe",
+    known = {"full", "sgd", "noloss", "nofuse", "noattn", "noplans", "novfe", "nop2t", "notok",
              "sparseconv", "nofuseremat", "conv1x1", "nobn", "nomask",
              "densewin", "noconv", "nocanvas"}
     if variants - known:
