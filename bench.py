@@ -162,8 +162,11 @@ def main():
         det_batch = {
             "points": jnp.asarray(det_pts),
             "point_mask": jnp.ones((1, meta.max_points), bool),
+            # init traces the train path (anchor target assignment)
+            "gt_boxes": jnp.zeros((1, 8, 8), jnp.float32),
         }
         det_params, det_bs = train_lib.init_model(det_model, det_batch, seed=0)
+        det_batch = {k: v for k, v in det_batch.items() if k != "gt_boxes"}
 
         @jax.jit
         def detect(batch):

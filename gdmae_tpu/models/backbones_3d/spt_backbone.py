@@ -277,12 +277,12 @@ class SSTBlock(nn.Module):
             pos_flats = None
             if all(window_ops.plan_block_ts(p) is not None for p in plans):
                 pos_flats = [
-                    window_ops.sinusoidal_pos_embed(
-                        window_ops.plan_yx_flat(p), window, d_model,
+                    window_ops.pos_embed_flat(
+                        p, window, d_model,
                         pos_temperature=float(pre.POS_TEMPERATURE),
                         normalize_pos=bool(pre.NORMALIZE_POS),
-                        dtype=jnp.float32,
-                    ).astype(self.dtype)
+                        dtype=self.dtype,
+                    )
                     for p in plans
                 ]
             # remat trades ~1 extra forward in the backward pass for

@@ -31,10 +31,14 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=True):
+        # torch symmetric padding k//2 (SAME misaligns stride-2 on even
+        # sizes; reference dla.py convs all use padding=k//2)
+        pd = self.dilation * (self.kernel // 2)
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     kernel_dilation=(self.dilation, self.dilation),
-                    padding="SAME", use_bias=False, dtype=self.dtype)(x)
+                    padding=((pd, pd), (pd, pd)), use_bias=False,
+                    dtype=self.dtype)(x)
         x = MaskedBatchNorm(dtype=self.dtype)(x, use_running_average=not train)
         return nn.relu(x) if self.relu else x
 

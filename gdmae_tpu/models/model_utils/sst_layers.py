@@ -93,6 +93,12 @@ class CosineMultiheadAttention(nn.Module):
 
         if block_ts is not None:
             b, nb = lead
+            if os.environ.get("GDMAE_ABLATE_MHA"):  # profiling-only knob:
+                # projections + mask kept, attention mixing skipped
+                out = vv * valid[..., None].astype(vv.dtype) \
+                    + q.sum() * 1e-30 + k.sum() * 1e-30
+                out = nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+                return out * valid[..., None].astype(out.dtype)
             # the Pallas kernel measured ~par with (not yet faster than)
             # the XLA biased-einsum path on v5e, so it stays opt-in
             if jax.devices()[0].platform != "cpu" and t == 128 and \
@@ -209,10 +215,12 @@ class BucketEncoderLayer(nn.Module):
 
     def __call__(self, feats, pos, valid, block_ts=None):
         """feats/pos: (..., T, C); valid: (..., T)."""
+        import os
         src2 = self.win_attn(feats + pos, feats, valid, block_ts=block_ts)
         src = self.norm1(feats, src2)
-        src2 = self.linear2(self._act(self.linear1(src)))
-        src = self.norm2(src, src2)
+        if not os.environ.get("GDMAE_ABLATE_FFN"):  # profiling-only knob
+            src2 = self.linear2(self._act(self.linear1(src)))
+            src = self.norm2(src, src2)
         return src * valid[..., None].astype(src.dtype)
 
 

@@ -137,17 +137,26 @@ def topk_heatmap(scores, k):
     top-k.  scores: (B, ncls, H, W) -> (score, inds, class, ys, xs), each
     (B, K)."""
     b, ncls, h, w = scores.shape
+    k1 = min(k, h * w)  # tiny grids: can't pick more cells than exist
     flat = scores.reshape(b, ncls, h * w)
-    topk_scores, topk_inds = jax.lax.top_k(flat, k)  # (B, ncls, K)
+    topk_scores, topk_inds = jax.lax.top_k(flat, k1)  # (B, ncls, K1)
     topk_ys = (topk_inds // w).astype(jnp.float32)
     topk_xs = (topk_inds % w).astype(jnp.float32)
 
-    topk_score, topk_ind = jax.lax.top_k(topk_scores.reshape(b, -1), k)  # (B, K)
-    topk_classes = (topk_ind // k).astype(jnp.int32)
+    k2 = min(k, ncls * k1)
+    topk_score, topk_ind = jax.lax.top_k(
+        topk_scores.reshape(b, -1), k2)  # (B, K2)
+    topk_classes = (topk_ind // k1).astype(jnp.int32)
     gather = lambda v: jnp.take_along_axis(v.reshape(b, -1), topk_ind, axis=1)
-    return (topk_score, gather(topk_inds), topk_classes,
-            gather(topk_ys.astype(jnp.int32)).astype(jnp.float32),
-            gather(topk_xs.astype(jnp.int32)).astype(jnp.float32))
+    out = (topk_score, gather(topk_inds), topk_classes,
+           gather(topk_ys.astype(jnp.int32)).astype(jnp.float32),
+           gather(topk_xs.astype(jnp.int32)).astype(jnp.float32))
+    if k2 < k:  # pad to the static K (scores -inf sort/threshold away)
+        pad = [jnp.full((b, k - k2), -jnp.inf, out[0].dtype)] + [
+            jnp.zeros((b, k - k2), o.dtype) for o in out[1:]]
+        out = tuple(jnp.concatenate([o, p], axis=1)
+                    for o, p in zip(out, pad))
+    return out
 
 
 def decode_bbox_from_heatmap(heatmap, rot_cos, rot_sin, center, center_z, dim,
@@ -216,13 +225,12 @@ def circle_nms(centers_xy, scores, min_radius, post_maxsize, valid=None):
     top_valid = jnp.isfinite(top_scores)
 
     d2 = jnp.sum((top_xy[:, None, :] - top_xy[None, :, :]) ** 2, axis=-1)
-    adj = d2 <= min_radius  # reference compares squared distance to thresh
-
-    def body(i, keep):
-        later = jnp.arange(n) > i
-        return keep & ~(adj[i] & keep[i] & later)
-
-    keep = jax.lax.fori_loop(0, n, body, top_valid)
+    # reference compares squared distance to thresh; blocked greedy
+    # suppression (see ops.iou_nms._greedy_suppress: per-box fori_loop
+    # costs ~0.7 ms/step of TPU loop overhead)
+    from .iou_nms import _greedy_suppress
+    keep = _greedy_suppress(
+        jnp.where(d2 <= min_radius, 1.0, 0.0), top_valid, 0.5)
     keep_scores = jnp.where(keep, top_scores, -jnp.inf)
     sel_scores, sel = jax.lax.top_k(keep_scores, min(post_maxsize, n))
     sel_mask = jnp.isfinite(sel_scores)

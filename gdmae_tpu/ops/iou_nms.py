@@ -31,72 +31,94 @@ def _box_corners_local(dx, dy):
     ], axis=-2)  # (..., 4, 2)
 
 
-def _clip_halfplane(poly, count, axis, sign, bound):
-    """Clip (8, 2) polygon with ``count`` valid verts against
-    sign * poly[axis] <= bound.  Returns new (8, 2) poly + count.
+def _clip_halfplane(xs, ys, count, axis, sign, bound):
+    """Clip an unrolled 8-vertex polygon (``xs``/``ys``: length-8 Python
+    lists of scalars, ``count`` valid) against sign * coord[axis] <= bound.
 
-    Entirely scatter/gather-free: vertex selection and compaction are
-    8x8 one-hot matmuls.  The vmapped tiny-scatter form (`.at[].set`
-    mode='drop' under a (N, M)-pair vmap) hard-crashed the TPU runtime
-    ("TPU worker process crashed", reproducible at 4096x4096)."""
-    idx = jnp.arange(8)
-    nxt = jnp.where(idx + 1 < count, idx + 1, 0)
-    v = poly
-    w = (nxt[:, None] == idx[None, :]).astype(poly.dtype) @ poly  # poly[nxt]
-    fv = sign * v[:, axis] - bound  # <= 0 means inside
-    fw = sign * w[:, axis] - bound
-    in_v = fv <= 0
-    in_w = fw <= 0
-    valid_edge = idx < count
+    FULLY UNROLLED scalar select chains — no gathers, no dots.  Two
+    earlier forms failed on TPU: a vmapped tiny-scatter (`.at[].set`)
+    hard-crashed the runtime at 4096x4096, and an 8x8 one-hot-MATMUL
+    compaction lowered to 16.7M MXU-padded (8,8) dots ≈ 2.9 s for one
+    4096^2 IoU matrix.  Here every op is elementwise, so the whole
+    clipping pipeline fuses into one VPU loop under the pair vmap."""
+    f = [sign * (xs[i] if axis == 0 else ys[i]) - bound for i in range(8)]
+    in_v = [fi <= 0 for fi in f]
 
-    t = fv / jnp.where(jnp.abs(fv - fw) > 1e-12, fv - fw, 1e-12)
-    inter = v + t[:, None] * (w - v)
+    # running emit count as a traced scalar
+    offset = jnp.zeros_like(count)
+    zero = jnp.zeros_like(xs[0])
+    acc_x = [zero] * 8
+    acc_y = [zero] * 8
 
-    emit_v = in_v & valid_edge
-    emit_i = (in_v != in_w) & valid_edge
-    n_emit = emit_v.astype(jnp.int32) + emit_i.astype(jnp.int32)
-    offset = jnp.cumsum(n_emit) - n_emit
-    new_count = jnp.sum(n_emit)
+    def place(slot_vals_x, slot_vals_y, pos, emit):
+        for j in range(8):
+            hit = emit & (pos == j)
+            acc_x[j] = jnp.where(hit, slot_vals_x, acc_x[j])
+            acc_y[j] = jnp.where(hit, slot_vals_y, acc_y[j])
 
-    pos_v = jnp.where(emit_v, offset, 8)  # 8 = dropped
-    pos_i = jnp.where(emit_i, offset + emit_v.astype(jnp.int32), 8)
-    sel_v = (idx[:, None] == pos_v[None, :]).astype(poly.dtype)  # (out, in)
-    sel_i = (idx[:, None] == pos_i[None, :]).astype(poly.dtype)
-    out = sel_v @ v + sel_i @ inter
-    return out, new_count
+    for i in range(8):
+        valid_edge = count > i
+        j = 0 if i == 7 else i + 1
+        # next valid vertex (wraps to 0 at the ring end)
+        wrap = count <= i + 1
+        wx = jnp.where(wrap, xs[0], xs[j])
+        wy = jnp.where(wrap, ys[0], ys[j])
+        fw = sign * (wx if axis == 0 else wy) - bound
+        in_w = fw <= 0
+
+        denom = f[i] - fw
+        t = f[i] / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+        ix = xs[i] + t * (wx - xs[i])
+        iy = ys[i] + t * (wy - ys[i])
+
+        emit_v = in_v[i] & valid_edge
+        emit_i = (in_v[i] != in_w) & valid_edge
+        place(xs[i], ys[i], offset, emit_v)
+        pos_i = offset + emit_v.astype(offset.dtype)
+        place(ix, iy, pos_i, emit_i)
+        offset = pos_i + emit_i.astype(offset.dtype)
+
+    return acc_x, acc_y, offset
 
 
 def _pair_overlap(box_a, box_b):
-    """BEV overlap area of two rotated boxes [x, y, z, dx, dy, dz, r]."""
+    """BEV overlap area of two rotated boxes [x, y, z, dx, dy, dz, r].
+
+    Unrolled-scalar pipeline (see _clip_halfplane): under the pair vmap
+    everything is one elementwise fusion."""
     ca, cb = box_a[:2], box_b[:2]
     ra, rb = box_a[6], box_b[6]
     # A in B's frame
     cos_b, sin_b = jnp.cos(-rb), jnp.sin(-rb)
     rel = ca - cb
-    c = jnp.stack([cos_b * rel[0] - sin_b * rel[1],
-                   sin_b * rel[0] + cos_b * rel[1]])
+    cx = cos_b * rel[0] - sin_b * rel[1]
+    cy = sin_b * rel[0] + cos_b * rel[1]
     a_rel = ra - rb
     cos_a, sin_a = jnp.cos(a_rel), jnp.sin(a_rel)
-    loc = _box_corners_local(box_a[3], box_a[4])  # (4, 2)
-    rot = jnp.stack([
-        cos_a * loc[:, 0] - sin_a * loc[:, 1],
-        sin_a * loc[:, 0] + cos_a * loc[:, 1],
-    ], axis=-1)
-    poly = jnp.zeros((8, 2)).at[:4].set(rot + c)
+    hx_a, hy_a = box_a[3] / 2, box_a[4] / 2
+    corners = [(hx_a, hy_a), (-hx_a, hy_a), (-hx_a, -hy_a), (hx_a, -hy_a)]
+    zero = jnp.zeros_like(cx)
+    xs = [cos_a * lx - sin_a * ly + cx for lx, ly in corners] + [zero] * 4
+    ys = [sin_a * lx + cos_a * ly + cy for lx, ly in corners] + [zero] * 4
     count = jnp.asarray(4, jnp.int32)
 
     hx, hy = box_b[3] / 2, box_b[4] / 2
-    poly, count = _clip_halfplane(poly, count, 0, 1.0, hx)
-    poly, count = _clip_halfplane(poly, count, 0, -1.0, hx)
-    poly, count = _clip_halfplane(poly, count, 1, 1.0, hy)
-    poly, count = _clip_halfplane(poly, count, 1, -1.0, hy)
+    xs, ys, count = _clip_halfplane(xs, ys, count, 0, 1.0, hx)
+    xs, ys, count = _clip_halfplane(xs, ys, count, 0, -1.0, hx)
+    xs, ys, count = _clip_halfplane(xs, ys, count, 1, 1.0, hy)
+    xs, ys, count = _clip_halfplane(xs, ys, count, 1, -1.0, hy)
 
-    # shoelace with tail vertices pinned to the last valid vertex
-    idx = jnp.arange(8)
-    pin = jnp.minimum(idx, jnp.maximum(count - 1, 0))
-    p = poly[pin]
-    q = jnp.roll(p, -1, axis=0)
-    area = 0.5 * jnp.abs(jnp.sum(p[:, 0] * q[:, 1] - q[:, 0] * p[:, 1]))
+    # shoelace over the valid ring: edge i -> next valid (wraps to 0);
+    # invalid slots contribute 0
+    area2 = zero
+    for i in range(8):
+        j = 0 if i == 7 else i + 1
+        wrap = count <= i + 1
+        qx = jnp.where(wrap, xs[0], xs[j])
+        qy = jnp.where(wrap, ys[0], ys[j])
+        cross = xs[i] * qy - qx * ys[i]
+        area2 = area2 + jnp.where(count > i, cross, 0.0)
+    area = 0.5 * jnp.abs(area2)
     return jnp.where(count >= 3, area, 0.0)
 
 
@@ -139,21 +161,48 @@ def boxes_iou3d(boxes_a, boxes_b, chunk=256):
     return inter / jnp.clip(vol_a + vol_b - inter, 1e-6)
 
 
-def _greedy_suppress(iou, valid, thresh):
-    """Sequential greedy suppression over score-sorted boxes.
+def _greedy_suppress(iou, valid, thresh, block: int = 128):
+    """Greedy suppression over score-sorted boxes, BLOCKED for TPU.
+
+    Greedy NMS is a sequential dependency chain, but a per-box
+    ``fori_loop`` costs ~0.7 ms/step of loop overhead on TPU (measured:
+    2.9 s for K=4096).  This resolves ``block`` boxes per loop step: the
+    intra-block chain is a statically unrolled loop over (block,) vectors,
+    and each step suppresses all later boxes against the block's kept set
+    with one (block, K) reduction — K/block serial steps total, exactly
+    the reference nms_gpu blocking structure (iou3d_nms_kernel.cu:267-326).
 
     iou: (K, K) of score-sorted boxes; valid: (K,).  Returns keep (K,) bool.
     """
     k = iou.shape[0]
-    adj = iou > thresh
+    if k <= block:
+        adj = iou > thresh
 
-    def body(i, keep):
-        keep_i = keep[i]
-        later = jnp.arange(k) > i
-        return keep & ~(adj[i] & keep_i & later)
+        def body_small(i, keep):
+            return keep & ~(adj[i] & keep[i] & (jnp.arange(k) > i))
 
-    keep = jax.lax.fori_loop(0, k, body, valid)
-    return keep
+        return jax.lax.fori_loop(0, k, body_small, valid)
+
+    nb = -(-k // block)
+    kp = nb * block
+    adj = jnp.pad(iou > thresh, ((0, kp - k), (0, kp - k)))
+    keep0 = jnp.pad(valid, (0, kp - k))
+    lanes = jnp.arange(block)
+    pos = jnp.arange(kp)
+
+    def body(bi, keep):
+        s = bi * block
+        blk_keep = jax.lax.dynamic_slice(keep, (s,), (block,))
+        blk_adj = jax.lax.dynamic_slice(adj, (s, 0), (block, kp))  # (B, K)
+        intra = jax.lax.dynamic_slice_in_dim(blk_adj, s, block, 1)
+        for i in range(block):  # static unroll: no per-step loop overhead
+            blk_keep = blk_keep & ~(intra[i] & blk_keep[i] & (lanes > i))
+        supp = jnp.any(blk_adj & blk_keep[:, None], axis=0)  # (K,)
+        keep = keep & ~(supp & (pos >= s + block))
+        return jax.lax.dynamic_update_slice(keep, blk_keep, (s,))
+
+    keep = jax.lax.fori_loop(0, nb, body, keep0)
+    return keep[:k]
 
 
 def nms_bev(boxes, scores, thresh, pre_maxsize, post_maxsize, valid=None,
@@ -173,7 +222,16 @@ def nms_bev(boxes, scores, thresh, pre_maxsize, post_maxsize, valid=None,
         valid = jnp.ones((n,), bool)
     masked_scores = jnp.where(valid, scores, -jnp.inf)
     k = min(pre_maxsize, n)
-    top_scores, order = jax.lax.top_k(masked_scores, k)
+    if n >= (1 << 17):
+        # XLA's TPU TopkEmitter asserts out ("TransformWindow: Loop will
+        # not make progress") on very wide 1D top_k (seen at n=321408, the
+        # KITTI anchor count); a full sort_key_val + slice is exact and
+        # compiles fine (~ms at this size)
+        neg, order = jax.lax.sort_key_val(
+            -masked_scores, jnp.arange(n, dtype=jnp.int32))
+        top_scores, order = -neg[:k], order[:k]
+    else:
+        top_scores, order = jax.lax.top_k(masked_scores, k)
     top_boxes = boxes[order]
     top_valid = jnp.isfinite(top_scores)
 

@@ -739,6 +739,24 @@ def sinusoidal_pos_embed(tok_yx, window, feat_dim, pos_temperature=1000,
     return jnp.concatenate([ex, ey], axis=-1)
 
 
+def pos_embed_flat(plan: BucketPlan, window, feat_dim, pos_temperature=1000,
+                   normalize_pos=False, dtype=jnp.float32):
+    """Packed (B, S, C) position embeds for a plan, via ONE (wy*wx, C)
+    trace-time table + a C-wide row gather (the embed depends only on the
+    in-window cell, so computing sin/cos over the full (B, S, C) stream is
+    wy*wx-fold redundant work + HBM traffic)."""
+    wy, wx = window
+    yx_all = np.stack(np.meshgrid(np.arange(wy), np.arange(wx),
+                                  indexing="ij"), -1).reshape(-1, 2)
+    table = sinusoidal_pos_embed(
+        jnp.asarray(yx_all, jnp.int32), window, feat_dim,
+        pos_temperature=pos_temperature, normalize_pos=normalize_pos,
+        dtype=jnp.float32).astype(dtype)          # (wy*wx, C) constant
+    yx = plan_yx_flat(plan)                        # (B, S, 2)
+    cell = yx[..., 0] * wx + yx[..., 1]            # (B, S)
+    return jnp.take(table, cell, axis=0)
+
+
 def default_win_caps(grid_hw, window, max_pillars, drop_specs,
                      batch_size: int = 1) -> Tuple[int, ...]:
     """Heuristic per-sample per-level window capacities guaranteeing zero

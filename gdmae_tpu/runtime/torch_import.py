@@ -217,6 +217,38 @@ def flax_to_torch_name(path: str, mae: bool = False):
                 f"{'weight' if leaf == 'kernel' else 'bias'}",
                 "t" if leaf == "kernel" else "")
 
+    # ---- DLA-34 image backbone (the torchvision-hub pretrained surface:
+    # reference dla.py:196 loads ImageNet weights into `base` only) ----
+    m = re.match(r"img_backbone/base/(.*)$", path)
+    if m:
+        rest = m.group(1)
+        base = "img_backbone.base"
+        mm = re.match(r"(base_layer|level0|level1)/(.*)$", rest)
+        if mm:  # Sequential(conv, bn, relu)
+            return _conv_bn_suffix(mm.group(2), f"{base}.{mm.group(1)}.0.weight",
+                                   f"{base}.{mm.group(1)}.1", "conv")
+        mm = re.match(r"(level\d(?:/tree[12])*)/(.*)$", rest)
+        if mm:
+            tree = f"{base}." + mm.group(1).replace("/", ".")
+            leaf = mm.group(2)
+            mm2 = re.match(r"(conv[12])/(.*)$", leaf)
+            if mm2:  # BasicBlock convs: bn lives as bn{j} sibling
+                j = mm2.group(1)[-1]
+                out = _conv_bn_suffix(mm2.group(2), f"{tree}.{mm2.group(1)}.weight",
+                                      f"{tree}.bn{j}", "conv")
+                if out:
+                    return out
+            mm2 = re.match(r"root/conv/(.*)$", leaf)
+            if mm2:
+                return _conv_bn_suffix(mm2.group(1), f"{tree}.root.conv.weight",
+                                       f"{tree}.root.bn", "conv")
+            if leaf == "project/kernel":
+                return f"{tree}.project.0.weight", "conv"
+            mm2 = re.match(r"project_bn/(scale|bias|mean|var)$", leaf)
+            if mm2:
+                return f"{tree}.project.1.{_BN_LEAF[mm2.group(1)]}", ""
+        return None
+
     # ---- 2D BEV backbone (SSTBEVBackbone) ----
     m = re.match(r"backbone_2d/conv_(\d+)/kernel$", path)
     if m:

@@ -321,6 +321,15 @@ def _install_stubs():
 
     _ensure_stub_pkg("pcdet")
     _ensure_stub_pkg("pcdet.ops")
+    dcn = _ensure_stub_pkg("pcdet.ops.dcn")
+    dcn_dc = _ensure_stub_pkg("pcdet.ops.dcn.deform_conv")
+    import torch as _torch
+
+    class _MDCP(_torch.nn.Module):  # import-only stub (IDAUp uses it)
+        def __init__(self, *a, **k):
+            super().__init__()
+    dcn_dc.ModulatedDeformConvPack = _MDCP
+    dcn.deform_conv = dcn_dc
     iou = _ensure_stub_pkg("pcdet.ops.iou3d_nms")
     iou_utils = _ensure_stub_pkg("pcdet.ops.iou3d_nms.iou3d_nms_utils")
     iou.iou3d_nms_utils = iou_utils
@@ -339,6 +348,7 @@ def _install_stubs():
     _ensure_stub_pkg("pcdet.models.backbones_3d")
     _ensure_stub_pkg("pcdet.models.backbones_3d.vfe")
     _ensure_stub_pkg("pcdet.models.backbones_2d")
+    _ensure_stub_pkg("pcdet.models.img_backbones")
     _ensure_stub_pkg("tools_ref")
     _ensure_stub_pkg("tools_ref.train_utils")
     _ensure_stub_pkg("tools_ref.train_utils.optimization")
@@ -360,6 +370,7 @@ _FILES = {
         "pcdet/models/backbones_3d/spt_backbone.py",
     "pcdet.models.backbones_3d.spconv_backbone":
         "pcdet/models/backbones_3d/spconv_backbone.py",
+    "pcdet.models.img_backbones.dla": "pcdet/models/img_backbones/dla.py",
     "pcdet.models.backbones_2d.sst_bev_backbone":
         "pcdet/models/backbones_2d/sst_bev_backbone.py",
     "pcdet.models.dense_heads.target_assigner.anchor_generator":

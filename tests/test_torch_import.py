@@ -396,3 +396,48 @@ def test_voxel_backbone8x_forward_parity(residual):
     ref_d = np.transpose(ref_dense, (0, 2, 3, 4, 1))
     assert got.shape == ref_d.shape, (got.shape, ref_d.shape)
     np.testing.assert_allclose(got, ref_d, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_dla34_base_forward_parity():
+    """Reference DLA-34 trunk (the torchvision-pretrained surface) vs ours
+    with imported weights: all six pyramid level outputs agree."""
+    torch = pytest.importorskip("torch")
+    ref_dla = ref_loader.load_ref("pcdet.models.img_backbones.dla")
+    from gdmae_tpu.models.img_backbones.dla import DLA
+
+    torch.manual_seed(11)
+    ref = ref_dla.dla34(pretrained=False)
+    g = torch.Generator().manual_seed(12)
+    ref.eval()
+    for sub in ref.modules():
+        if hasattr(sub, "running_mean") and sub.running_mean is not None:
+            sub.running_mean.normal_(0.0, 0.05, generator=g)
+            sub.running_var.uniform_(0.7, 1.4, generator=g)
+
+    rng = np.random.RandomState(13)
+    img = rng.rand(1, 64, 96, 3).astype(np.float32)
+    x_t = torch.as_tensor(img.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        # reference DLA.forward returns the 6 level outputs
+        ref_levels = [o.permute(0, 2, 3, 1).numpy() for o in ref(x_t)]
+
+    sd = {f"img_backbone.base.{k}": v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    ours = DLA()
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img),
+                          train=False)
+    params = {"img_backbone": {"base": dict(variables["params"])}}
+    bstats = {"img_backbone": {"base": dict(variables["batch_stats"])}}
+    new_p, new_bs, report = torch_import.import_torch_state(sd, params, bstats)
+    # fc/classification head keys in the torch dict have no counterpart
+    assert report["unmapped"] == [], report["unmapped"][:10]
+    assert report["skipped"] == [], report["skipped"][:10]
+    got_levels = ours.apply(
+        {"params": new_p["img_backbone"]["base"],
+         "batch_stats": new_bs["img_backbone"]["base"]},
+        jnp.asarray(img), train=False)
+    assert len(got_levels) == len(ref_levels) == 6
+    for li, (a, b) in enumerate(zip(got_levels, ref_levels)):
+        np.testing.assert_allclose(np.asarray(a, np.float32), b,
+                                   rtol=2e-3, atol=2e-3, err_msg=f"level {li}")
