@@ -306,6 +306,71 @@ def flax_to_torch_name(path: str, mae: bool = False):
                  for j in (1, 2, 3, 0, 4)]
         return cands, ("conv" if leaf == "kernel" else "")
 
+    # ---- GraphRCNNHead (DFVS + attentive GNN second stage) ----
+    # ours (models/roi_heads/graphrcnn_head.py) <-> reference
+    # graphrcnn_head.py:14-177; reference Conv1d/Conv2d kernel-size-1 stacks
+    # are Dense layers here ("conv1d" transform squeezes the kernel dims).
+    m = re.match(r"roi_head/(.*)$", path)
+    if m:
+        rest = m.group(1)
+        base = "roi_head"
+        gnn = f"{base}.attn_gnn_layer"
+        mm = re.match(r"attn_gnn/edge_(\d+)/kernel$", rest)
+        if mm:
+            return f"{gnn}.edge_layes.{mm.group(1)}.0.weight", "conv1d"
+        mm = re.match(r"attn_gnn/edge_bn_(\d+)/(scale|bias|mean|var)$", rest)
+        if mm:
+            return (f"{gnn}.edge_layes.{mm.group(1)}.1."
+                    f"{_BN_LEAF[mm.group(2)]}"), ""
+        table = {
+            "attn_gnn/calib_fc1/kernel": (f"{gnn}.calib.0.weight", "conv1d"),
+            "attn_gnn/calib_fc2/kernel": (f"{gnn}.calib.3.weight", "conv1d"),
+            "attn_gnn/calib_fc2/bias": (f"{gnn}.calib.3.bias", ""),
+            "attn_gnn/reduction/kernel": (f"{gnn}.reduction.0.weight",
+                                          "conv1d"),
+            "attn_gnn/sc_fc1/kernel": (f"{gnn}.shortcut.conv1.weight",
+                                       "conv1d"),
+            "attn_gnn/sc_fc1/bias": (f"{gnn}.shortcut.conv1.bias", ""),
+            "attn_gnn/sc_fc2/kernel": (f"{gnn}.shortcut.conv2.weight",
+                                       "conv1d"),
+            "attn_gnn/sc_fc2/bias": (f"{gnn}.shortcut.conv2.bias", ""),
+            "shared_fc/kernel": (f"{base}.shared_fc_layer.0.weight",
+                                 "conv1d"),
+            "cls_layer/kernel": (f"{base}.cls_layers.weight", "conv1d"),
+            "cls_layer/bias": (f"{base}.cls_layers.bias", ""),
+            "reg_layer/kernel": (f"{base}.reg_layers.weight", "conv1d"),
+            "reg_layer/bias": (f"{base}.reg_layers.bias", ""),
+        }
+        if rest in table:
+            return table[rest]
+        bn_table = {
+            "attn_gnn/calib_bn": f"{gnn}.calib.1",
+            "attn_gnn/reduction_bn": f"{gnn}.reduction.1",
+            "attn_gnn/sc_bn1": f"{gnn}.shortcut.norm1",
+            "attn_gnn/sc_bn2": f"{gnn}.shortcut.norm2",
+            "shared_bn": f"{base}.shared_fc_layer.1",
+        }
+        mm = re.match(r"(.*)/(scale|bias|mean|var)$", rest)
+        if mm and mm.group(1) in bn_table:
+            return f"{bn_table[mm.group(1)]}.{_BN_LEAF[mm.group(2)]}", ""
+        mm = re.match(r"attn_gnn/exp_(\d+)/kernel$", rest)
+        if mm:
+            return (f"{gnn}.expansion.{3 * int(mm.group(1))}.weight",
+                    "conv1d")
+        mm = re.match(r"attn_gnn/exp_bn_(\d+)/(scale|bias|mean|var)$", rest)
+        if mm:
+            return (f"{gnn}.expansion.{3 * int(mm.group(1)) + 1}."
+                    f"{_BN_LEAF[mm.group(2)]}"), ""
+        mm = re.match(r"img_conv(\d+)/kernel$", rest)
+        if mm:
+            return (f"{base}.img_conv.{3 * int(mm.group(1))}.weight",
+                    "conv1d")
+        mm = re.match(r"img_bn(\d+)/(scale|bias|mean|var)$", rest)
+        if mm:
+            return (f"{base}.img_conv.{3 * int(mm.group(1)) + 1}."
+                    f"{_BN_LEAF[mm.group(2)]}"), ""
+        return None
+
     return None
 
 
@@ -339,6 +404,12 @@ def _to_flax(val: np.ndarray, tf: str, target_shape) -> Optional[np.ndarray]:
             out = v.transpose(2, 3, 1, 0)            # dense torch conv
         else:
             return None
+    elif tf == "conv1d":
+        # torch Conv1d/Conv2d kernel-size-1 (out, in, 1[, 1]) -> Dense
+        # kernel (in, out)
+        if v.ndim < 2 or any(d != 1 for d in v.shape[2:]):
+            return None
+        out = v.reshape(v.shape[0], v.shape[1]).T
     elif tf == "spconv3d":
         # target (K, in, out) with K = prod(kernel), tap-major (z, y, x)
         if v.ndim != 5:
@@ -379,6 +450,8 @@ def _from_flax(val: np.ndarray, tf: str, torch_like: Optional[np.ndarray],
         return v  # shared (1,1,1)
     if tf == "conv":
         return np.ascontiguousarray(v.transpose(3, 2, 0, 1))
+    if tf == "conv1d":
+        return np.ascontiguousarray(v.T[..., None])  # (in,out)->(out,in,1)
     if tf == "spconv":
         # export in spconv2 layout (out, kh, kw, in)
         return np.ascontiguousarray(v.transpose(3, 0, 1, 2))

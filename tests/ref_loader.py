@@ -336,6 +336,9 @@ def _install_stubs():
     roiaware = _ensure_stub_pkg("pcdet.ops.roiaware_pool3d")
     roiaware.roiaware_pool3d_utils = _ensure_stub_pkg(
         "pcdet.ops.roiaware_pool3d.roiaware_pool3d_utils")
+    patch = _ensure_stub_pkg("pcdet.ops.patch_ops")
+    patch.patch_ops_utils = _ensure_stub_pkg(
+        "pcdet.ops.patch_ops.patch_ops_utils")
     sst = _ensure_stub_pkg("pcdet.ops.sst_ops")
     sst_utils_ops = _ensure_stub_pkg("pcdet.ops.sst_ops.sst_ops_utils")
     sst_utils_ops.get_inner_win_inds = _numpy_ingroup_inds
@@ -349,6 +352,9 @@ def _install_stubs():
     _ensure_stub_pkg("pcdet.models.backbones_3d.vfe")
     _ensure_stub_pkg("pcdet.models.backbones_2d")
     _ensure_stub_pkg("pcdet.models.img_backbones")
+    _ensure_stub_pkg("pcdet.models.fusion_layers")
+    _ensure_stub_pkg("pcdet.models.roi_heads")
+    _ensure_stub_pkg("pcdet.models.roi_heads.target_assigner")
     _ensure_stub_pkg("tools_ref")
     _ensure_stub_pkg("tools_ref.train_utils")
     _ensure_stub_pkg("tools_ref.train_utils.optimization")
@@ -371,6 +377,15 @@ _FILES = {
     "pcdet.models.backbones_3d.spconv_backbone":
         "pcdet/models/backbones_3d/spconv_backbone.py",
     "pcdet.models.img_backbones.dla": "pcdet/models/img_backbones/dla.py",
+    "pcdet.models.roi_heads.target_assigner.proposal_target_layer":
+        "pcdet/models/roi_heads/target_assigner/proposal_target_layer.py",
+    "pcdet.models.roi_heads.roi_head_template":
+        "pcdet/models/roi_heads/roi_head_template.py",
+    "pcdet.utils.transform_utils": "pcdet/utils/transform_utils.py",
+    "pcdet.models.fusion_layers.point_sample":
+        "pcdet/models/fusion_layers/point_sample.py",
+    "pcdet.models.roi_heads.graphrcnn_head":
+        "pcdet/models/roi_heads/graphrcnn_head.py",
     "pcdet.models.backbones_2d.sst_bev_backbone":
         "pcdet/models/backbones_2d/sst_bev_backbone.py",
     "pcdet.models.dense_heads.target_assigner.anchor_generator":
@@ -430,6 +445,25 @@ _DEPS = {
     "pcdet.models.backbones_3d.spconv_backbone": [
         "pcdet.utils.spconv_utils",
     ],
+    "pcdet.models.roi_heads.roi_head_template": [
+        "pcdet.utils.box_coder_utils",
+        "pcdet.utils.common_utils",
+        "pcdet.utils.loss_utils",
+        "pcdet.models.model_utils.model_nms_utils",
+        "pcdet.models.roi_heads.target_assigner.proposal_target_layer",
+    ],
+    "pcdet.models.roi_heads.target_assigner.proposal_target_layer": [
+        "pcdet.utils.box_utils",
+    ],
+    "pcdet.models.fusion_layers.point_sample": [
+        "pcdet.utils.transform_utils",
+    ],
+    "pcdet.models.roi_heads.graphrcnn_head": [
+        "pcdet.models.roi_heads.roi_head_template",
+        "pcdet.models.model_utils.network_utils",
+        "pcdet.models.fusion_layers.point_sample",
+        "pcdet.utils.common_utils",
+    ],
     "pcdet.models.dense_heads.anchor_head_template": [
         "pcdet.utils.box_coder_utils",
         "pcdet.utils.common_utils",
@@ -459,5 +493,10 @@ def load_ref(name: str):
     if parent in sys.modules:
         setattr(sys.modules[parent], child, mod)
     spec.loader.exec_module(mod)
+    # `from ..fusion_layers import PointSample`-style imports need the
+    # class re-exported on the stub package
+    if name == "pcdet.models.fusion_layers.point_sample":
+        sys.modules["pcdet.models.fusion_layers"].PointSample = \
+            mod.PointSample
     _loaded[name] = mod
     return mod

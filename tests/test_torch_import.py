@@ -441,3 +441,56 @@ def test_dla34_base_forward_parity():
     for li, (a, b) in enumerate(zip(got_levels, ref_levels)):
         np.testing.assert_allclose(np.asarray(a, np.float32), b,
                                    rtol=2e-3, atol=2e-3, err_msg=f"level {li}")
+
+
+@pytest.mark.slow
+def test_attn_gnn_mapping_parity():
+    """Reference AttnGNNLayer (graphrcnn_head.py:40-126) vs ours with
+    imported weights on the same RoI point sets (eval mode, all valid)."""
+    torch = pytest.importorskip("torch")
+    grh = ref_loader.load_ref("pcdet.models.roi_heads.graphrcnn_head")
+    from gdmae_tpu.config import EasyDict
+    from gdmae_tpu.models.roi_heads.graphrcnn_head import (
+        AttnGNNLayer as OursGNN)
+
+    cfg = EasyDict({
+        "OUT_DIM": 64, "MLPS": [24, 24], "USE_FEATS_DIS": False, "K": 6,
+        "CALIB_DIM": 16, "EXP_MLPS": [48, 48], "USE_REDUCTION": True,
+        "USE_SHORT_CUT": True,
+    })
+    torch.manual_seed(21)
+    ref = grh.AttnGNNLayer(input_channels=11, model_cfg=EasyDict(dict(cfg)))
+    g = torch.Generator().manual_seed(22)
+    ref.eval()
+    for sub in ref.modules():
+        if hasattr(sub, "running_mean") and sub.running_mean is not None:
+            sub.running_mean.normal_(0.0, 0.05, generator=g)
+            sub.running_var.uniform_(0.7, 1.4, generator=g)
+
+    rng = np.random.RandomState(23)
+    b, m, kpts = 1, 4, 16
+    xyz = rng.randn(b, m, kpts, 3).astype(np.float32) * 2
+    feats = rng.randn(b, m, kpts, 8).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.as_tensor(xyz), torch.as_tensor(feats))
+    # (B, out, M) -> (B*M, out)
+    out_ref = out_ref.permute(0, 2, 1).reshape(b * m, -1).numpy()
+
+    sd = {f"roi_head.attn_gnn_layer.{k}": v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    ours = OursGNN(model_cfg=cfg, input_channels=11)
+    xj = jnp.asarray(xyz.reshape(b * m, kpts, 3))
+    fj = jnp.asarray(feats.reshape(b * m, kpts, 8))
+    vj = jnp.ones((b * m, kpts), bool)
+    variables = ours.init(jax.random.PRNGKey(0), xj, fj, vj, train=False)
+    params = {"roi_head": {"attn_gnn": dict(variables["params"])}}
+    bstats = {"roi_head": {"attn_gnn": dict(variables["batch_stats"])}}
+    new_p, new_bs, report = torch_import.import_torch_state(sd, params, bstats)
+    assert report["unmapped"] == [], report["unmapped"][:10]
+    assert report["skipped"] == [], report["skipped"][:10]
+    got = ours.apply(
+        {"params": new_p["roi_head"]["attn_gnn"],
+         "batch_stats": new_bs["roi_head"]["attn_gnn"]},
+        xj, fj, vj, train=False)
+    np.testing.assert_allclose(np.asarray(got, np.float32), out_ref,
+                               rtol=2e-3, atol=2e-3)
