@@ -57,8 +57,10 @@ class CosineMultiheadAttention(nn.Module):
             "in_proj_weight", nn.initializers.xavier_uniform(), (c, 3 * c), jnp.float32
         )
         qkv_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * c,), jnp.float32)
-        q = qk @ qkv_w[:, :c].astype(self.dtype) + qkv_b[:c].astype(self.dtype)
-        k = qk @ qkv_w[:, c : 2 * c].astype(self.dtype) + qkv_b[c : 2 * c].astype(self.dtype)
+        # q and k share the same input: ONE (C, 2C) matmul instead of two
+        qk2 = qk @ qkv_w[:, : 2 * c].astype(self.dtype) \
+            + qkv_b[: 2 * c].astype(self.dtype)
+        q, k = qk2[..., :c], qk2[..., c:]
         vv = v @ qkv_w[:, 2 * c :].astype(self.dtype) + qkv_b[2 * c :].astype(self.dtype)
 
         # per-head scaling applied on the FLAT (..., T, C) layout — no

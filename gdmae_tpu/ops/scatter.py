@@ -292,10 +292,15 @@ def group_points_padded(values, res: PillarizeResult, k: int):
         (M, k, C) grouped values (zeros past count), (M, k) bool mask.
     """
     n, c = values.shape
-    pad = jnp.concatenate([values, jnp.zeros((k, c), values.dtype)], axis=0)
+    # coordinate-major layout: (k, c)-block slices have c(=3)-wide minor
+    # rows that pad ~40x in (8,128) tiles; slicing (c, k) from the
+    # transposed buffer keeps the minor dim at k(=64)
+    pad_t = jnp.concatenate(
+        [values.T, jnp.zeros((c, k), values.dtype)], axis=1)  # (C, N+k)
     blocks = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(pad, (s, 0), (k, c))
-    )(jnp.minimum(res.pillar_start, n))
+        lambda s: jax.lax.dynamic_slice(pad_t, (0, s), (c, k))
+    )(jnp.minimum(res.pillar_start, n))            # (M, C, k)
+    blocks = blocks.transpose(0, 2, 1)             # (M, k, C)
     mask = (jnp.arange(k, dtype=jnp.int32)[None, :]
             < jnp.minimum(res.pillar_count, k)[:, None])
     return blocks * mask[..., None].astype(blocks.dtype), mask

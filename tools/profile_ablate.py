@@ -88,6 +88,12 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     # ---- apply ablation patches ----
+    if "nochamfer" in variants:  # chamfer only (grouping kept)
+        def fake_chamfer2(pred, gt, pred_mask=None, gt_mask=None, weights=None):
+            dep = (gt.sum() + (0 if gt_mask is None else gt_mask.sum())
+                   ).astype(jnp.float32)
+            return jnp.mean(pred.astype(jnp.float32) ** 2) + dep * 1e-30
+        loss_utils.chamfer_distance = fake_chamfer2
     if "noloss" in variants:
         def fake_chamfer(pred, gt, pred_mask=None, gt_mask=None, weights=None):
             return jnp.mean(pred.astype(jnp.float32) ** 2)
@@ -232,7 +238,7 @@ def main():
         spt_mod2.scatter_pillars_to_canvas = fake_scatter
         spt_mod2.gather_canvas_at = fake_gather
         window_mod.occupancy_from_coords = fake_occ
-    known = {"full", "sgd", "noloss", "nofuse", "noattn", "noplans", "novfe", "nop2t", "notok",
+    known = {"full", "sgd", "noloss", "nofuse", "noattn", "noplans", "novfe", "nop2t", "notok", "nochamfer",
              "sparseconv", "nofuseremat", "conv1x1", "nobn", "nomask",
              "densewin", "noconv", "nocanvas"}
     if variants - known:
