@@ -115,3 +115,21 @@ def test_nms_respects_valid_and_post_max():
     got = np.asarray(keep_idx)[np.asarray(keep_mask)]
     assert 0 not in got
     assert len(got) <= 5
+
+
+def test_nms_blocked_path_matches_oracle():
+    """n > 128 crosses the blocked suppression path (128 boxes per loop
+    step); results must still be exactly the sequential greedy keep set."""
+    rng = np.random.RandomState(7)
+    n = 300
+    boxes = rand_boxes(n, 7)
+    # heavy clustering so suppression chains cross block boundaries
+    boxes[150:290] = boxes[0:140] + rng.normal(
+        0, 0.25, (140, 7)).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    keep_idx, keep_mask, _ = iou_nms.nms_bev(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.15, n, n)
+    got = [int(i) for i, m in zip(np.asarray(keep_idx), np.asarray(keep_mask))
+           if m]
+    expect = oracle_nms(boxes, scores, 0.15)
+    assert got == expect
