@@ -292,15 +292,22 @@ def group_points_padded(values, res: PillarizeResult, k: int):
         (M, k, C) grouped values (zeros past count), (M, k) bool mask.
     """
     n, c = values.shape
-    # coordinate-major layout: (k, c)-block slices have c(=3)-wide minor
-    # rows that pad ~40x in (8,128) tiles; slicing (c, k) from the
-    # transposed buffer keeps the minor dim at k(=64)
-    pad_t = jnp.concatenate(
-        [values.T, jnp.zeros((c, k), values.dtype)], axis=1)  # (C, N+k)
-    blocks = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(pad_t, (0, s), (c, k))
-    )(jnp.minimum(res.pillar_start, n))            # (M, C, k)
-    blocks = blocks.transpose(0, 2, 1)             # (M, k, C)
+    m = res.pillar_start.shape[0]
+    # ONE sorted scatter: point i (pillar-sorted) lands at slot
+    # pillar_i * k + rank_i.  The per-pillar rank comes from a cummax over
+    # run boundaries — no gathers.  (An M-wide vmapped dynamic_slice form
+    # measured ~39 ms/step at MAE-bench scale: 131k tiny slices.)
+    pil = res.point_pillar.astype(jnp.int32)       # (N,) nondecreasing
+    i_n = jnp.arange(n, dtype=jnp.int32)
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), bool), pil[1:] != pil[:-1]])
+    run_start = jax.lax.cummax(jnp.where(new_run, i_n, 0))
+    rank = i_n - run_start                          # (N,) rank within pillar
+    ok = (rank < k) & (pil >= 0) & (pil < m)
+    slot = jnp.where(ok, pil * k + rank, m * k)     # sorted nondecreasing
+    out = jnp.zeros((m * k + 1, c), values.dtype)
+    out = out.at[slot].set(values, mode="drop", indices_are_sorted=True)
+    blocks = out[:-1].reshape(m, k, c)
     mask = (jnp.arange(k, dtype=jnp.int32)[None, :]
             < jnp.minimum(res.pillar_count, k)[:, None])
     return blocks * mask[..., None].astype(blocks.dtype), mask
