@@ -159,6 +159,9 @@ class SSTBlock(nn.Module):
     # win_caps must then have one entry per refined level
     pack_pow2: bool = False
     pack_min_t: int = 1  # smallest pow2 packing sub-level (TPU_PACK_MIN_T)
+    # TPU_FUSED_LAYER: run each encoder layer as ONE fused Pallas kernel
+    # (ops.pallas.fused_encoder) instead of ~25 XLA passes
+    fused_layer: bool = False
     # profiling-only ablations (TPU_ABLATE): 'attn' keeps the bucket plans
     # but skips the transformer math; 'plans' skips plan building too
     ablate: Tuple[str, ...] = ()
@@ -301,6 +304,7 @@ class SSTBlock(nn.Module):
                     activation=str(enc.ACTIVATION),
                     cosine=bool(enc.get("LAYER_CFG", {}).get("cosine", False)),
                     tau_min=float(enc.get("LAYER_CFG", {}).get("tau_min", 0.01)),
+                    fused_layer=self.fused_layer,
                     dtype=self.dtype,
                     name=f"shift_block_{bi}",
                 )(rows, plans, pos_flats)
@@ -506,6 +510,7 @@ class SPTBackbone(nn.Module):
                 window_mode=str(cfg.get("TPU_WINDOW_MODE", "bucket")),
                 pack_pow2=bool(cfg.get("TPU_PACK_POW2", False)),
                 pack_min_t=int(cfg.get("TPU_PACK_MIN_T", 1)),
+                fused_layer=bool(cfg.get("TPU_FUSED_LAYER", False)),
                 ablate=tuple(cfg.get("TPU_ABLATE", ())),
                 dtype=self.dtype, name=f"sst_block_{i}",
             )(tokens, coords, mask, occ, canvas_in=canvas, cell2tok_in=c2t,

@@ -89,9 +89,9 @@ class CosineMultiheadAttention(nn.Module):
         import os
 
         from ...ops.pallas.window_attention import (
-            biased_window_attention, blocked_window_attention,
-            fused_window_attention, packed_window_mha,
-            reference_window_attention)
+            biased_window_attention, biased_window_attention_tokmajor,
+            blocked_window_attention, fused_window_attention,
+            packed_window_mha, reference_window_attention)
 
         if block_ts is not None:
             b, nb = lead
@@ -109,6 +109,14 @@ class CosineMultiheadAttention(nn.Module):
                     q.reshape(b, nb * t, c), k.reshape(b, nb * t, c),
                     vv.reshape(b, nb * t, c), valid.reshape(b, nb * t),
                     block_ts, h).reshape(b, nb, t, c)
+            elif os.environ.get("GDMAE_TOKMAJOR_ATTN"):
+                # A/B: head split inside the einsum contraction instead of
+                # explicit moveaxis — measured NEUTRAL on v5e (384 vs 374 ms
+                # full step; XLA already folds the transposes into the dots)
+                bias = window_ops.packed_block_bias(block_ts)
+                out = jax.checkpoint(
+                    biased_window_attention_tokmajor, static_argnums=(5, 6))(
+                    q, k, vv, valid, bias, self.cosine, h)
             else:
                 bias = window_ops.packed_block_bias(block_ts)
 
@@ -226,6 +234,106 @@ class BucketEncoderLayer(nn.Module):
         return src * valid[..., None].astype(src.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Parameter-holder matching ``nn.Dense``'s tree (kernel/bias) so the
+    fused encoder layer shares checkpoints with the unfused one."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+class _MHAParams(nn.Module):
+    """Parameter-holder matching :class:`CosineMultiheadAttention`'s tree."""
+
+    d_model: int
+    nhead: int
+    non_shared_tau: bool = False
+
+    @nn.compact
+    def __call__(self):
+        c = self.d_model
+        w = self.param("in_proj_weight", nn.initializers.xavier_uniform(),
+                       (c, 3 * c), jnp.float32)
+        bi = self.param("in_proj_bias", nn.initializers.zeros,
+                        (3 * c,), jnp.float32)
+        tau_shape = (self.nhead, 1, 1) if self.non_shared_tau else (1, 1, 1)
+        tau = self.param("tau", nn.initializers.ones, tau_shape, jnp.float32)
+        ko, bo = _DenseParams(c, c, name="out_proj")()
+        return w, bi, tau, ko, bo
+
+
+class _LNParams(nn.Module):
+    """Parameter-holder matching ``nn.LayerNorm``/:class:`FusedAddLayerNorm`."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
+class FusedBucketEncoderLayer(nn.Module):
+    """Drop-in replacement for :class:`BucketEncoderLayer` on the packed
+    128-token block path, computing the ENTIRE post-norm encoder layer in
+    one Pallas kernel per direction (ops.pallas.fused_encoder) — logits,
+    probabilities, FFN hidden and every residual stay in VMEM.
+
+    The parameter tree is identical to :class:`BucketEncoderLayer`
+    (win_attn/{in_proj_weight,in_proj_bias,tau,out_proj}, norm1/2,
+    linear1/2), so checkpoints are interchangeable and the torch importer
+    needs no changes.  Requires cosine attention, gelu, and the packed
+    block layout (callers fall back to the unfused layer otherwise)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    activation: str = "gelu"
+    cosine: bool = True
+    tau_min: float = 0.01
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, pos, valid, block_ts=None):
+        from ...ops.pallas.fused_encoder import (
+            fused_encoder_layer, reference_encoder_layer)
+
+        assert block_ts is not None and self.cosine and \
+            self.activation == "gelu", (
+                "FusedBucketEncoderLayer requires the packed block layout "
+                "with cosine attention and gelu")
+        c, h, f = self.d_model, self.nhead, self.dim_feedforward
+        w, bi, tau, ko, bo = _MHAParams(c, h, name="win_attn")()
+        ln1s, ln1b = _LNParams(c, name="norm1")()
+        w1, b1 = _DenseParams(c, f, name="linear1")()
+        w2, b2 = _DenseParams(f, c, name="linear2")()
+        ln2s, ln2b = _LNParams(c, name="norm2")()
+
+        inv_tau = (1.0 / jnp.maximum(tau, self.tau_min)).reshape(1, -1)
+        if inv_tau.shape[1] != h:  # shared tau -> broadcast per head
+            inv_tau = jnp.broadcast_to(inv_tau, (1, h))
+        row = lambda x: x.reshape(1, -1)
+        params = (w, row(bi), inv_tau, ko, row(bo), row(ln1s), row(ln1b),
+                  w1, row(b1), w2, row(b2), row(ln2s), row(ln2b))
+        bias = window_ops.packed_block_bias(block_ts)
+        x = feats.astype(self.dtype)
+        p = pos.astype(self.dtype)
+        if jax.devices()[0].platform == "cpu":
+            out = reference_encoder_layer(x, p, valid, bias, params, h)
+        else:
+            out = fused_encoder_layer(x, p, valid, bias, params, h)
+        return out * valid[..., None].astype(out.dtype)
+
+
 class DenseWindowShiftBlock(nn.Module):
     """Two encoder layers alternating shift0/shift1 over DENSE canvas
     windows — opt-in via ``TPU_WINDOW_MODE: dense`` (SPTBackbone defaults
@@ -324,6 +432,7 @@ class CanvasShiftBlock(nn.Module):
     activation: str = "gelu"
     cosine: bool = True
     tau_min: float = 0.01
+    fused_layer: bool = False  # TPU_FUSED_LAYER: one Pallas kernel per layer
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -335,12 +444,16 @@ class CanvasShiftBlock(nn.Module):
         num_shifts = len(plans)
         for i in range(2):
             plan = plans[i % num_shifts]
-            layer = BucketEncoderLayer(
+            ts = window_ops.plan_block_ts(plan)
+            use_fused = (self.fused_layer and ts is not None and
+                         self.cosine and self.activation == "gelu")
+            layer_cls = FusedBucketEncoderLayer if use_fused \
+                else BucketEncoderLayer
+            layer = layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward,
                 activation=self.activation, cosine=self.cosine,
                 tau_min=self.tau_min, dtype=self.dtype, name=f"encoder_{i}",
             )
-            ts = window_ops.plan_block_ts(plan)
             if ts is not None:
                 # packed path: ONE attention/FFN/LN pass over the level-
                 # concatenated token stream, viewed as 128-token blocks

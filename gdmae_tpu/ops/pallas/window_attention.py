@@ -403,6 +403,39 @@ def biased_window_attention(q, k, v, valid, bias, cosine=True):
     return jnp.einsum("bnhts,bnhsd->bnhtd", attn.astype(v.dtype), v)
 
 
+def biased_window_attention_tokmajor(q, k, v, valid, bias, cosine, nhead):
+    """Same math as :func:`biased_window_attention` but on token-major
+    channel-flat blocks — no head-major (B, NB, H, T, hd) tensors are ever
+    materialized.  With hd = 16/32 the head-split minor dim pads 8x/4x in
+    (8, 128) HBM tiles, and the explicit ``moveaxis`` copies into/out of
+    head-major layout were pure wasted bandwidth: einsum lets XLA fold the
+    head split into the dot's contraction dims instead.
+
+    Args:
+        q, k, v: (B, NB, T, C) packed blocks (T = 128, C = nhead * hd).
+        valid: (B, NB, T); bias: (NB, T, T) f32; cosine: static (see
+            :func:`biased_window_attention`); nhead: static head count.
+    Returns:
+        (B, NB, T, C).
+    """
+    b, nb, t, c = q.shape
+    h = nhead
+    hd = c // h
+    ldt = q.dtype if (cosine and q.dtype == jnp.bfloat16) else jnp.float32
+
+    def split(x):  # free reshape — no transpose
+        return x.reshape(b, nb, t, h, hd)
+
+    logits = jnp.einsum("bnthd,bnshd->bnhts", split(q), split(k),
+                        preferred_element_type=ldt)
+    logits = logits + bias[None, :, None].astype(ldt)
+    logits = jnp.where(valid[:, :, None, None, :], logits,
+                       jnp.asarray(-1e9, ldt))
+    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bnhts,bnshd->bnthd", attn.astype(v.dtype), split(v))
+    return out.reshape(b, nb, t, c)
+
+
 def blocked_window_attention(q, k, v, valid):
     """Same math as :func:`reference_window_attention`, but G = 128//T
     windows are packed into ONE (G*T, G*T) block-diagonal attention so the

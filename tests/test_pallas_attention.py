@@ -155,3 +155,53 @@ def test_packed_mha_gradients_match():
     for a, bb in zip(g_got, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_tokmajor_matches_headmajor_biased():
+    from gdmae_tpu.ops.pallas.window_attention import (
+        biased_window_attention, biased_window_attention_tokmajor)
+    from gdmae_tpu.ops import window as W
+
+    rng = np.random.RandomState(9)
+    b, c, h = 2, 64, 4
+    ts = (16,) * 2 + (32,) + (64,)
+    nb = len(ts)
+    s_tot = nb * 128
+    hd = c // h
+    q = jnp.asarray(rng.randn(b, nb, 128, c).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, nb, 128, c).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, nb, 128, c).astype(np.float32))
+    valid = jnp.asarray(rng.rand(b, nb, 128) > 0.3)
+    valid = valid.reshape(b, -1, 16).at[..., 0].set(True).reshape(b, nb, 128)
+    bias = W.packed_block_bias(ts)
+
+    def heads(x):
+        return jnp.moveaxis(x.reshape(b, nb, 128, h, hd), -2, -3)
+
+    ref = biased_window_attention(heads(q), heads(k), heads(v), valid, bias)
+    ref = jnp.moveaxis(ref, -3, -2).reshape(b, nb, 128, c)
+    got = biased_window_attention_tokmajor(q, k, v, valid, bias, True, h)
+    m = np.asarray(valid)[..., None]
+    np.testing.assert_allclose(np.asarray(got) * m, np.asarray(ref) * m,
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients too (the model wraps it in jax.checkpoint)
+    tgt = jnp.asarray(rng.randn(b, nb, 128, c).astype(np.float32))
+    wm = valid[..., None].astype(jnp.float32)
+
+    def loss_ref(q, k, v):
+        r = biased_window_attention(heads(q), heads(k), heads(v), valid, bias)
+        r = jnp.moveaxis(r, -3, -2).reshape(b, nb, 128, c)
+        return jnp.sum(((r - tgt) * wm) ** 2)
+
+    def loss_tok(q, k, v):
+        r = jax.checkpoint(
+            biased_window_attention_tokmajor, static_argnums=(5, 6))(
+            q, k, v, valid, bias, True, h)
+        return jnp.sum(((r - tgt) * wm) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss_tok, argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-4, atol=2e-4)

@@ -75,6 +75,8 @@ def main():
             synth_scan(np.random.RandomState(0), 4, 16384),
             drop_specs=drop_specs)]
     cfg.MODEL.BACKBONE_3D.TPU_REMAT = False
+    if _os.environ.get("GDMAE_FUSED_LAYER"):
+        cfg.MODEL.BACKBONE_3D.TPU_FUSED_LAYER = True
     meta = DatasetMeta(
         class_names=cfg.CLASS_NAMES,
         point_cloud_range=cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
@@ -117,8 +119,15 @@ def main():
                 fc = as_easy(self.fuse_cfg)
                 total = sum(int(fc[s].NUM_UPSAMPLE_FILTER) for s in self.sources)
                 out_ch = total // len(self.sources)
-                return nn.Conv(out_ch, (1, 1), dtype=self.dtype,
-                               name="stub")(feature_maps[self.sources[0]])
+                out = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                              name="stub")(feature_maps[self.sources[0]])
+                # keep EVERY source alive: stubbing only x_conv1 lets XLA
+                # dead-code-eliminate encoder stages 2-3 entirely and the
+                # "fuse" bucket absorbs their cost (PERFORMANCE.md pitfall)
+                for s in self.sources[1:]:
+                    out = out + (jnp.sum(feature_maps[s].astype(jnp.float32))
+                                 * 1e-30).astype(out.dtype)
+                return out
         spt_mod.DeconvFuse = Fuse1x1
     if "noattn" in variants:
         cfg.MODEL.BACKBONE_3D.TPU_ABLATE = ["attn"]
