@@ -284,10 +284,16 @@ def fused_encoder_layer(x, pos, valid, bias_nb, params, nhead,
     """
     b, nb, s, c = x.shape
     kb = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+    n = b * nb
+    # pre-tile the per-block bias across the batch: +5 MB -> ~80 MB of
+    # extra streaming per pass (~0.1 ms), but the grid group is no longer
+    # pinned to divisors of NB (78 -> g=2 meant 4x more grid steps, and
+    # per-step overhead dominated this backend's first fused-layer run)
+    bias_t = jnp.tile(bias_nb, (b, 1, 1))
     out = _fused_layer(
-        nhead, nb, interpret,
-        x.reshape(b * nb, s, c), pos.reshape(b * nb, s, c),
-        kb.reshape(b * nb, 1, s), bias_nb, tuple(params))
+        nhead, n, interpret,
+        x.reshape(n, s, c), pos.reshape(n, s, c),
+        kb.reshape(n, 1, s), bias_t, tuple(params))
     return out.reshape(b, nb, s, c)
 
 
