@@ -154,7 +154,11 @@ class SSTBlock(nn.Module):
     token_cap_out: int = 0  # token capacity after stride (0 = keep input M)
     sparse_conv: bool = False
     remat: bool = True
-    window_mode: str = "bucket"  # 'bucket' (compact drop-level rows) | 'dense'
+    # 'bucket' (compact per-drop-level rows), 'joint' (single shared token
+    # budget per shift, ops.window.JointPlan — ~1.5-2x fewer padded tokens
+    # than per-level caps), or 'dense' (full-canvas windows)
+    window_mode: str = "bucket"
+    joint_budget: int = 0  # per-sample token budget for 'joint' (mult of 128)
     # refine drop levels into pow2 packing sub-levels (TPU_PACK_POW2);
     # win_caps must then have one entry per refined level
     pack_pow2: bool = False
@@ -227,7 +231,8 @@ class SSTBlock(nn.Module):
         if self.pack_pow2:
             drop_specs = window_ops.packing_specs(
                 drop_specs, window[0] * window[1], min_t=self.pack_min_t)
-        assert len(self.win_caps) == len(drop_specs), (
+        assert self.window_mode == "joint" or \
+            len(self.win_caps) == len(drop_specs), (
             f"win_caps has {len(self.win_caps)} entries but the "
             f"{'pow2-refined ' if self.pack_pow2 else ''}drop spec has "
             f"{len(drop_specs)} levels — with TPU_PACK_POW2, "
@@ -238,6 +243,24 @@ class SSTBlock(nn.Module):
         if "plans" in self.ablate:
             plans = None
             participate = mask
+        elif self.window_mode == "joint":
+            assert self.joint_budget > 0 and self.joint_budget % 128 == 0, (
+                "TPU_WINDOW_MODE: joint needs TPU_JOINT_BUDGETS (one "
+                "multiple-of-128 per stage); got", self.joint_budget)
+            raw_plans = [
+                window_ops.build_joint_plan(
+                    occ, (ny, nx), window, shift, drop_specs,
+                    self.joint_budget)
+                for shift in ((0, 0), (window[0] // 2, window[1] // 2))
+            ]
+            plans = [window_ops.joint_plan_to_tokens(p, c2t, tcell, m)
+                     for p in raw_plans]
+            participate = None
+            for plan in plans:
+                cover = plan.inv_idx < plan.total_tokens
+                participate = cover if participate is None else \
+                    (participate & cover)
+            participate = participate & mask
         else:
             raw_plans = [
                 window_ops.build_bucket_plan(
@@ -269,6 +292,10 @@ class SSTBlock(nn.Module):
                 dep = dep + plan.inv_idx.sum().astype(self.dtype) * 1e-30
                 if "tokarrays" in self.ablate:
                     continue  # profiling: let DCE drop the per-level arrays
+                if isinstance(plan, window_ops.JointPlan):
+                    dep = dep + (plan.tok_src.sum() + plan.wid.sum()
+                                 ).astype(self.dtype) * 1e-30
+                    continue
                 for s, yx in zip(plan.tok_src, plan.tok_yx):
                     dep = dep + (s.sum() + yx.sum()).astype(self.dtype) * 1e-30
             tokens = tokens + dep
@@ -278,7 +305,17 @@ class SSTBlock(nn.Module):
             # (B, S, C) embeds ONCE per stage instead of once per encoder
             # layer (2 layers x NUM_BLOCKS share them)
             pos_flats = None
-            if all(window_ops.plan_block_ts(p) is not None for p in plans):
+            if self.window_mode == "joint":
+                pos_flats = [
+                    window_ops.joint_pos_embed_flat(
+                        p, window, d_model,
+                        pos_temperature=float(pre.POS_TEMPERATURE),
+                        normalize_pos=bool(pre.NORMALIZE_POS),
+                        dtype=self.dtype,
+                    )
+                    for p in plans
+                ]
+            elif all(window_ops.plan_block_ts(p) is not None for p in plans):
                 pos_flats = [
                     window_ops.pos_embed_flat(
                         p, window, d_model,
@@ -498,6 +535,7 @@ class SPTBackbone(nn.Module):
         grids = self.block_grids()
         caps = self.stage_caps(b)
         tok_caps = cfg.get("TPU_TOKEN_CAPS", None)
+        joint_budgets = cfg.get("TPU_JOINT_BUDGETS", None)
         feature_maps, occs, strides = {}, {}, {}
         stride = 1
         canvas = None
@@ -508,6 +546,8 @@ class SPTBackbone(nn.Module):
                 sparse_conv=bool(cfg.get("TPU_SPARSE_CONV", False)),
                 remat=bool(cfg.get("TPU_REMAT", True)),
                 window_mode=str(cfg.get("TPU_WINDOW_MODE", "bucket")),
+                joint_budget=(int(joint_budgets[i])
+                              if joint_budgets is not None else 0),
                 pack_pow2=bool(cfg.get("TPU_PACK_POW2", False)),
                 pack_min_t=int(cfg.get("TPU_PACK_MIN_T", 1)),
                 fused_layer=bool(cfg.get("TPU_FUSED_LAYER", False)),

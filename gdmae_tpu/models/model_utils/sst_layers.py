@@ -44,11 +44,14 @@ class CosineMultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, qk: jnp.ndarray, v: jnp.ndarray, valid: jnp.ndarray,
-                 block_ts: Optional[Tuple[int, ...]] = None):
+                 block_ts: Optional[Tuple[int, ...]] = None,
+                 wid: Optional[jnp.ndarray] = None):
         """qk/v: (..., T, C); valid: (..., T).  ``block_ts`` (static tuple,
         one sub-window size per 128-token block) marks the packed-block
         layout and routes to the fused Pallas kernel (XLA biased-einsum
-        fallback elsewhere)."""
+        fallback elsewhere).  ``wid`` ((..., T) int32 window ids) marks the
+        JOINT-packed layout (ops.window.JointPlan): the attention mask is
+        wid equality instead of a static per-block structure."""
         *lead, t, c = qk.shape
         h = self.nhead
         hd = c // h
@@ -91,7 +94,25 @@ class CosineMultiheadAttention(nn.Module):
         from ...ops.pallas.window_attention import (
             biased_window_attention, biased_window_attention_tokmajor,
             blocked_window_attention, fused_window_attention,
-            packed_window_mha, reference_window_attention)
+            packed_window_mha, reference_window_attention,
+            wid_window_attention)
+
+        if wid is not None:
+            b, nb = lead
+            if os.environ.get("GDMAE_ABLATE_MHA"):  # profiling-only knob
+                out = vv * valid[..., None].astype(vv.dtype) \
+                    + q.sum() * 1e-30 + k.sum() * 1e-30
+            else:
+                def heads(x):
+                    return jnp.moveaxis(x.reshape(b, nb, t, h, hd), -2, -3)
+
+                out = jax.checkpoint(
+                    wid_window_attention, static_argnums=(5,))(
+                    heads(q), heads(k), heads(vv), valid, wid, self.cosine)
+                out = jnp.moveaxis(out, -3, -2).reshape(b, nb, t, c)
+            out = out.astype(self.dtype)
+            out = nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
+            return out * valid[..., None].astype(out.dtype)
 
         if block_ts is not None:
             b, nb = lead
@@ -223,10 +244,11 @@ class BucketEncoderLayer(nn.Module):
             return nn.relu(x)
         raise NotImplementedError(self.activation)
 
-    def __call__(self, feats, pos, valid, block_ts=None):
+    def __call__(self, feats, pos, valid, block_ts=None, wid=None):
         """feats/pos: (..., T, C); valid: (..., T)."""
         import os
-        src2 = self.win_attn(feats + pos, feats, valid, block_ts=block_ts)
+        src2 = self.win_attn(feats + pos, feats, valid, block_ts=block_ts,
+                             wid=wid)
         src = self.norm1(feats, src2)
         if not os.environ.get("GDMAE_ABLATE_FFN"):  # profiling-only knob
             src2 = self.linear2(self._act(self.linear1(src)))
@@ -444,6 +466,36 @@ class CanvasShiftBlock(nn.Module):
         num_shifts = len(plans)
         for i in range(2):
             plan = plans[i % num_shifts]
+            if isinstance(plan, window_ops.JointPlan):
+                # joint-budget packing: one (B, S) stream per shift, window
+                # identity carried per slot (wid) instead of a static
+                # per-block sub-window size
+                layer = BucketEncoderLayer(
+                    self.d_model, self.nhead, self.dim_feedforward,
+                    activation=self.activation, cosine=self.cosine,
+                    tau_min=self.tau_min, dtype=self.dtype,
+                    name=f"encoder_{i}",
+                )
+                flat = window_ops.joint_gather_rows(rows, plan)
+                b, s, c = flat.shape
+                nb = s // 128
+                if pos_flats is not None:
+                    pos = pos_flats[i % num_shifts]
+                else:
+                    pos = window_ops.joint_pos_embed_flat(
+                        plan, self.window, self.d_model,
+                        pos_temperature=self.pos_temperature,
+                        normalize_pos=self.normalize_pos, dtype=jnp.float32,
+                    ).astype(rows.dtype)
+                out = layer(
+                    flat.reshape(b, nb, 128, c),
+                    pos.reshape(b, nb, 128, c),
+                    plan.tok_valid.reshape(b, nb, 128),
+                    wid=plan.wid.reshape(b, nb, 128),
+                )
+                rows = window_ops.joint_scatter_rows(
+                    rows, plan, out.reshape(b, s, c))
+                continue
             ts = window_ops.plan_block_ts(plan)
             use_fused = (self.fused_layer and ts is not None and
                          self.cosine and self.activation == "gelu")

@@ -403,6 +403,32 @@ def biased_window_attention(q, k, v, valid, bias, cosine=True):
     return jnp.einsum("bnhts,bnhsd->bnhtd", attn.astype(v.dtype), v)
 
 
+def wid_window_attention(q, k, v, valid, wid, cosine=True):
+    """Attention over packed 128-token blocks masked by a per-slot WINDOW
+    ID instead of a static per-block sub-window size (the joint-budget
+    packing path, ops.window.JointPlan): query t attends key s iff
+    ``wid[t] == wid[s]`` and the key is valid.
+
+    Args:
+        q, k, v: (B, NB, H, T, D) packed blocks (T = 128).
+        valid: (B, NB, T) key mask; wid: (B, NB, T) int32 (-1 on padding —
+            padding slots are also valid=False, so -1 == -1 matches are
+            masked by ``valid``; their query rows are garbage, dropped by
+            the inverse-index scatter like every other path).
+        cosine: static; bf16 logits when inputs are bf16 (bounded logits).
+    Returns:
+        (B, NB, H, T, D).
+    """
+    ldt = q.dtype if (cosine and q.dtype == jnp.bfloat16) else jnp.float32
+    logits = jnp.einsum("bnhtd,bnhsd->bnhts", q, k,
+                        preferred_element_type=ldt)
+    ok = (wid[:, :, None, :, None] == wid[:, :, None, None, :]) \
+        & valid[:, :, None, None, :]
+    logits = jnp.where(ok, logits, jnp.asarray(-1e9, ldt))
+    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bnhts,bnhsd->bnhtd", attn.astype(v.dtype), v)
+
+
 def biased_window_attention_tokmajor(q, k, v, valid, bias, cosine, nhead):
     """Same math as :func:`biased_window_attention` but on token-major
     channel-flat blocks — no head-major (B, NB, H, T, hd) tensors are ever

@@ -310,7 +310,10 @@ def group_points_padded(values, res: PillarizeResult, k: int):
     blocks = out[:-1].reshape(m, k, c)
     mask = (jnp.arange(k, dtype=jnp.int32)[None, :]
             < jnp.minimum(res.pillar_count, k)[:, None])
-    return blocks * mask[..., None].astype(blocks.dtype), mask
+    # no `blocks * mask` pass: the scatter writes exactly the slots the mask
+    # covers (rank < min(count, k)), everything else stays zero — the
+    # multiply would re-stream the whole (M, k, C) tensor for an identity
+    return blocks, mask
 
 
 def random_masking(key, valid_mask, mask_ratio):

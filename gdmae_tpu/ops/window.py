@@ -779,3 +779,224 @@ def default_win_caps(grid_hw, window, max_pillars, drop_specs,
         a = cap_align(min(spec.max_tokens, wy * wx))
         caps.append(int(np.ceil(cap / a) * a))
     return tuple(caps)
+
+
+# ---------------------------------------------------------------------------
+# Joint-budget window packing
+# ---------------------------------------------------------------------------
+#
+# The per-level BucketPlan pads each drop level to its own worst-case window
+# count: S = sum_l cap_l * T_l with cap_l = max over samples of that level's
+# population.  Samples never peak every level at once, so the static stream
+# carries ~1.5-2x more padded tokens than any sample actually produces
+# (measured 5120 vs 4045 at MAE-bench stage 2, 3456 vs 2452 at stage 3).
+#
+# A JointPlan packs ALL kept windows of a sample into ONE static token
+# budget: windows are laid out in descending pow2-size order (so every
+# window start is aligned to its size and no window straddles a 128-token
+# attention block), and the attention mask comes from a per-slot window-id
+# array instead of a static per-block sub-window size.  Drop semantics per
+# window are identical to the per-level plan (first min(count, T) tokens in
+# raster order); windows beyond the budget are dropped whole and counted in
+# ``overflow`` (their tokens ride the residual, like per-level cap
+# overflow).
+
+
+class JointPlan(NamedTuple):
+    """Single-budget packed gather plan for ONE shift (all shapes static,
+    everything per-sample).
+
+    Attributes:
+        tok_src: (B, S) int32 flat cell index (``y*Nx + x``; or token-row
+            index after :func:`joint_plan_to_tokens`); trash slots point at
+            ``Ny*Nx`` (resp. ``M``).
+        tok_valid: (B, S) bool.
+        tok_incell: (B, S) int32 in-window cell ``iy*wx + ix`` (position
+            embedding key); 0 on trash slots.
+        wid: (B, S) int32 window ordinal of each slot (-1 on slots never
+            written) — the attention mask is ``wid[q] == wid[k]``.
+        inv_idx: (B, Ny*Nx) (resp. (B, M)) int32 packed position per cell,
+            ``S`` when not covered.
+        overflow: () int32 — kept windows dropped because the budget filled.
+    """
+
+    tok_src: jnp.ndarray
+    tok_valid: jnp.ndarray
+    tok_incell: jnp.ndarray
+    wid: jnp.ndarray
+    inv_idx: jnp.ndarray
+    overflow: jnp.ndarray
+
+    @property
+    def total_tokens(self):
+        return int(self.tok_src.shape[-1])
+
+
+def _joint_plan_single(occ_flat, grid_hw, window, shift, drop_specs, budget):
+    """JointPlan for ONE sample.  occ_flat: (Ny*Nx,) bool; budget: static."""
+    ny, nx = grid_hw
+    wy, wx = window
+    sy, sx = shift
+    nwy = -(-(ny + sy) // wy)
+    nwx = -(-(nx + sx) // wx)
+    pad_y = nwy * wy - ny - sy
+    pad_x = nwx * wx - nx - sx
+    occ_pad = jnp.pad(occ_flat.reshape(ny, nx), ((sy, pad_y), (sx, pad_x)))
+
+    g = nwy * nwx
+    cells = wy * wx
+    n_lvl = len(drop_specs)
+
+    occ_win = occ_pad.reshape(nwy, wy, nwx, wx).transpose(0, 2, 1, 3)
+    occ_win = occ_win.reshape(g, cells)
+    counts = occ_win.sum(axis=-1).astype(jnp.int32)  # (G,)
+    c_occ = jnp.cumsum(occ_win.astype(jnp.int32), axis=-1)
+    # in-window compaction order (stable partition, see _plan_single)
+    shift_bits = max(int(np.ceil(np.log2(max(cells, 2)))), 1)
+    t_ids = jnp.arange(cells, dtype=jnp.int32)
+    key = ((jnp.logical_not(occ_win).astype(jnp.int32) << shift_bits)
+           | t_ids[None, :])
+    comp = (jnp.sort(key, axis=-1) & ((1 << shift_bits) - 1)).astype(jnp.int32)
+
+    # per-window padded size t_w (pow2 sub-level), 0 = dropped/empty
+    t_ls = [min(spec.max_tokens, cells) for spec in drop_specs]
+    assert all(t > 0 and (t & (t - 1)) == 0 and t <= 128 for t in t_ls), (
+        "joint packing requires power-of-two window sizes <= 128 (the "
+        f"descending-size layout keeps every window block-aligned): {t_ls}")
+    t_w = jnp.zeros((g,), jnp.int32)
+    for spec, t_l in zip(drop_specs, t_ls):
+        in_range = (counts >= max(spec.lower, 1)) & (counts < spec.upper)
+        t_w = jnp.where(in_range, t_l, t_w)
+
+    # windows sorted by DESCENDING size (then raster order): with pow2
+    # sizes, every window's offset is then a multiple of its own size, so
+    # no window straddles a 128-token attention block
+    win_bits = max(int(np.ceil(np.log2(max(g, 2)))), 1)
+    tmax = max(t_ls) if t_ls else cells
+    sort_key = ((tmax + 1 - t_w) << win_bits) | jnp.arange(g, dtype=jnp.int32)
+    skey = jnp.sort(sort_key)
+    sorted_win = (skey & ((1 << win_bits) - 1)).astype(jnp.int32)
+    sorted_t = (tmax + 1 - (skey >> win_bits)).astype(jnp.int32)
+    off = jnp.cumsum(sorted_t) - sorted_t  # exclusive
+    fits = (sorted_t > 0) & (off + sorted_t <= budget)
+    overflow = jnp.sum((sorted_t > 0) & jnp.logical_not(fits))
+
+    # packed arrays via ONE sorted scatter over (sorted-window, col) tokens
+    cnt_s = counts[sorted_win]                     # (G,)
+    cell_s = comp[sorted_win]                      # (G, cells) row gather
+    col = jnp.arange(cells, dtype=jnp.int32)[None, :]
+    tok_ok = fits[:, None] & (col < jnp.minimum(cnt_s, sorted_t)[:, None])
+    slot = jnp.where(tok_ok, off[:, None] + col, budget).reshape(-1)
+
+    iy = cell_s // wx
+    ix = cell_s % wx
+    y = (sorted_win // nwx)[:, None] * wy + iy - sy
+    x = (sorted_win % nwx)[:, None] * wx + ix - sx
+    flat_cell = (y * nx + x).reshape(-1)
+    incell = cell_s.reshape(-1)
+    # pack (incell | flat_cell) into one int32 scatter; wid separate.
+    # cell_bits covers the largest supported grid inside int32 (incell < 64
+    # needs 6 more bits; 6 + 25 = 31).
+    cell_bits = max(int(np.ceil(np.log2(ny * nx + 1))), 1)
+    assert cell_bits + int(np.ceil(np.log2(cells + 1))) < 32, (ny, nx, cells)
+    packed_a = (incell << cell_bits) | flat_cell
+    buf_a = jnp.full((budget + 1,), -1, jnp.int32).at[slot].set(
+        packed_a, mode="drop", indices_are_sorted=True)[:-1]
+    wid_src = jnp.broadcast_to(
+        jnp.arange(g, dtype=jnp.int32)[:, None], (g, cells)).reshape(-1)
+    wid = jnp.full((budget + 1,), -1, jnp.int32).at[slot].set(
+        wid_src, mode="drop", indices_are_sorted=True)[:-1]
+
+    tok_valid = buf_a >= 0
+    tok_src = jnp.where(tok_valid, buf_a & ((1 << cell_bits) - 1),
+                        ny * nx).astype(jnp.int32)
+    tok_incell = jnp.where(tok_valid, buf_a >> cell_bits, 0).astype(jnp.int32)
+
+    # inverse map per cell: pos = off(win) + rank among occupied cells
+    pos_of_win = jnp.zeros((g,), jnp.int32).at[sorted_win].set(
+        jnp.arange(g, dtype=jnp.int32), unique_indices=True)
+    off_orig = off[pos_of_win]
+    t_orig = sorted_t[pos_of_win]
+    fits_orig = fits[pos_of_win]
+    cy = jnp.arange(ny, dtype=jnp.int32)[:, None] + sy
+    cx = jnp.arange(nx, dtype=jnp.int32)[None, :] + sx
+    win_of_cell = ((cy // wy) * nwx + (cx // wx)).reshape(ny * nx)
+    incell_c = ((cy % wy) * wx + (cx % wx)).reshape(ny * nx)
+    rank_in_win = (
+        c_occ.reshape(g * cells)[win_of_cell * cells + incell_c] - 1)
+    covered = (occ_flat & fits_orig[win_of_cell]
+               & (rank_in_win < t_orig[win_of_cell]))
+    inv = jnp.where(covered, off_orig[win_of_cell] + rank_in_win,
+                    budget).astype(jnp.int32)
+
+    return JointPlan(tok_src, tok_valid, tok_incell, wid, inv, overflow)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_hw", "window", "shift", "drop_specs", "budget"),
+)
+def build_joint_plan(occupancy, grid_hw, window, shift, drop_specs, budget):
+    """Joint-budget packed plan for one shift (see :class:`JointPlan`).
+
+    Args:
+        occupancy: (B, Ny, Nx) bool.
+        budget: static per-sample token budget S (multiple of 128 keeps the
+            packed attention path exact).
+    """
+    ny, nx = grid_hw
+    b = occupancy.shape[0]
+    plan = jax.vmap(
+        lambda o: _joint_plan_single(o, grid_hw, window, shift, drop_specs,
+                                     int(budget))
+    )(occupancy.reshape(b, ny * nx))
+    return plan._replace(overflow=plan.overflow.sum())
+
+
+def joint_plan_to_tokens(plan: JointPlan, cell2tok, tok_cell, m: int):
+    """Rewrite a canvas-space JointPlan into token-row space (the joint
+    analogue of :func:`plan_to_tokens`)."""
+    b = cell2tok.shape[0]
+    c2t = jnp.concatenate([cell2tok, jnp.full((b, 1), m, jnp.int32)], axis=1)
+    s_all = jnp.take_along_axis(c2t, plan.tok_src, axis=1)
+    v_all = plan.tok_valid & (s_all < m)
+    s_all = jnp.where(v_all, s_all, m).astype(jnp.int32)
+    total = plan.total_tokens
+    inv_pad = jnp.concatenate(
+        [plan.inv_idx, jnp.full((b, 1), total, jnp.int32)], axis=1)
+    inv_tok = jnp.take_along_axis(inv_pad, tok_cell, axis=1)
+    return JointPlan(s_all, v_all, plan.tok_incell, plan.wid, inv_tok,
+                     plan.overflow)
+
+
+def joint_gather_rows(rows, plan: JointPlan):
+    """(B, M, C) rows -> (B, S, C) packed stream (pure gathers both ways)."""
+    return _gather_rows_flat_p(rows, plan.tok_src, plan.inv_idx)
+
+
+def joint_scatter_rows(rows, plan: JointPlan, flat_feats):
+    """Write the packed stream back into rows (uncovered rows unchanged)."""
+    return _scatter_rows_flat_p(rows, flat_feats, plan.tok_src, plan.inv_idx)
+
+
+def joint_pos_embed_flat(plan: JointPlan, window, feat_dim,
+                         pos_temperature=1000, normalize_pos=False,
+                         dtype=jnp.float32):
+    """Packed (B, S, C) position embeds via the (wy*wx, C) table gather."""
+    wy, wx = window
+    yx_all = np.stack(np.meshgrid(np.arange(wy), np.arange(wx),
+                                  indexing="ij"), -1).reshape(-1, 2)
+    table = sinusoidal_pos_embed(
+        jnp.asarray(yx_all, jnp.int32), window, feat_dim,
+        pos_temperature=pos_temperature, normalize_pos=normalize_pos,
+        dtype=jnp.float32).astype(dtype)
+    return jnp.take(table, plan.tok_incell, axis=0)
+
+
+def default_joint_budget(grid_hw, window, max_pillars,
+                         dilate: bool = False) -> int:
+    """Conservative static joint budget: every occupied cell costs at most
+    ~2x padding (pow2 rounding per window), bounded by the grid."""
+    ny, nx = grid_hw
+    cells = min(ny * nx, max_pillars * (4 if dilate else 1))
+    return int(-(-min(2 * cells, ny * nx) // 128) * 128)

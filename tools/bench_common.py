@@ -68,11 +68,17 @@ def window_caps_for(pts, mask_ratio=0.85, margin=1.25, drop_specs=None):
                     need[stage][li],
                     int(((cnt >= max(lo, 1)) & (cnt < hi)).sum()))
             ny2, nx2 = -(-ny // 2), -(-nx // 2)
+            # TRUE stride-2 kernel-3 footprint: output p covers inputs
+            # [2p-1, 2p+1], so input i activates p in {i//2, (i+1)//2} —
+            # at most 4 output cells, exactly matching the model's
+            # dilate_occupancy (max_pool k=3 s=2).  The earlier 3x3
+            # neighborhood at OUTPUT resolution (9 cells) overstated
+            # stage-2 window counts ~2x and the derived caps with them.
             nxt = set()
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    yy = np.clip(cy // 2 + dy, 0, ny2 - 1)
-                    xx = np.clip(cx // 2 + dx, 0, nx2 - 1)
+            for py in (cy // 2, (cy + 1) // 2):
+                for px in (cx // 2, (cx + 1) // 2):
+                    yy = np.clip(py, 0, ny2 - 1)
+                    xx = np.clip(px, 0, nx2 - 1)
                     nxt.update((yy * nx2 + xx).tolist())
             arr = np.fromiter(nxt, np.int64)
             cy, cx = arr // nx2, arr % nx2
@@ -80,3 +86,44 @@ def window_caps_for(pts, mask_ratio=0.85, margin=1.25, drop_specs=None):
     aligns = [cap_align(min(mt, 64)) for mt, _, _ in drop_specs]
     return [tuple(max(a, -(-int(need[s][li] * margin) // a) * a)
                   for li, a in enumerate(aligns)) for s in range(3)]
+
+
+def joint_budgets_for(pts, mask_ratio=0.85, margin=1.25, drop_specs=None):
+    """Zero-overflow per-stage JOINT token budgets for THIS data
+    (ops.window.JointPlan): max over samples of the sample's TOTAL padded
+    tokens sum_l n_l * T_l, x margin, rounded up to 128.  Unlike per-level
+    caps (max per level independently), samples never peak every level at
+    once, so the joint budget is ~1.5-2x tighter (measured 5120 -> 4096 at
+    MAE-bench stage 2)."""
+    if drop_specs is None:
+        drop_specs = [(16, 1, 16), (32, 16, 32), (64, 32, 10 ** 9)]
+    drop_specs = [tuple(int(v) for v in s) for s in drop_specs]
+    rng = np.random.RandomState(7)
+    ny0, nx0 = 248, 216
+    joint = [128] * 3
+    for bi in range(pts.shape[0]):
+        ix = (pts[bi, :, 0] / 0.32).astype(np.int64)
+        iy = ((pts[bi, :, 1] + 39.68) / 0.32).astype(np.int64)
+        ok = (ix >= 0) & (ix < nx0) & (iy >= 0) & (iy < ny0)
+        cells = np.unique(iy[ok] * nx0 + ix[ok])
+        cells = cells[rng.rand(len(cells)) > mask_ratio]
+        ny, nx = ny0, nx0
+        cy, cx = cells // nx0, cells % nx0
+        for stage in range(3):
+            win = (cy // 8) * ((nx + 7) // 8) + cx // 8
+            _, cnt = np.unique(win, return_counts=True)
+            tot = sum(
+                int(((cnt >= max(lo, 1)) & (cnt < hi)).sum()) * min(mt, 64)
+                for mt, lo, hi in drop_specs)
+            joint[stage] = max(joint[stage], tot)
+            ny2, nx2 = -(-ny // 2), -(-nx // 2)
+            nxt = set()
+            for py in (cy // 2, (cy + 1) // 2):
+                for px in (cx // 2, (cx + 1) // 2):
+                    yy = np.clip(py, 0, ny2 - 1)
+                    xx = np.clip(px, 0, nx2 - 1)
+                    nxt.update((yy * nx2 + xx).tolist())
+            arr = np.fromiter(nxt, np.int64)
+            cy, cx = arr // nx2, arr % nx2
+            ny, nx = ny2, nx2
+    return [int(-(-int(j * margin) // 128) * 128) for j in joint]

@@ -77,6 +77,14 @@ def main():
     cfg.MODEL.BACKBONE_3D.TPU_REMAT = False
     if _os.environ.get("GDMAE_FUSED_LAYER"):
         cfg.MODEL.BACKBONE_3D.TPU_FUSED_LAYER = True
+    if _os.environ.get("GDMAE_JOINT"):
+        from tools.bench_common import joint_budgets_for
+        cfg.MODEL.BACKBONE_3D.TPU_WINDOW_MODE = "joint"
+        cfg.MODEL.BACKBONE_3D.TPU_JOINT_BUDGETS = joint_budgets_for(
+            synth_scan(np.random.RandomState(0), 4, 16384),
+            drop_specs=drop_specs)
+        print("joint budgets:", cfg.MODEL.BACKBONE_3D.TPU_JOINT_BUDGETS,
+              file=sys.stderr)
     meta = DatasetMeta(
         class_names=cfg.CLASS_NAMES,
         point_cloud_range=cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
