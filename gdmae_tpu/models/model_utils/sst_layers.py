@@ -325,14 +325,15 @@ class FusedBucketEncoderLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, pos, valid, block_ts=None):
+    def __call__(self, feats, pos, valid, block_ts=None, wid=None):
         from ...ops.pallas.fused_encoder import (
-            fused_encoder_layer, reference_encoder_layer)
+            fused_encoder_layer, fused_encoder_layer_wid,
+            reference_encoder_layer, reference_encoder_layer_wid)
 
-        assert block_ts is not None and self.cosine and \
-            self.activation == "gelu", (
+        assert (block_ts is not None or wid is not None) and self.cosine \
+            and self.activation == "gelu", (
                 "FusedBucketEncoderLayer requires the packed block layout "
-                "with cosine attention and gelu")
+                "(block_ts or wid) with cosine attention and gelu")
         c, h, f = self.d_model, self.nhead, self.dim_feedforward
         w, bi, tau, ko, bo = _MHAParams(c, h, name="win_attn")()
         ln1s, ln1b = _LNParams(c, name="norm1")()
@@ -346,13 +347,20 @@ class FusedBucketEncoderLayer(nn.Module):
         row = lambda x: x.reshape(1, -1)
         params = (w, row(bi), inv_tau, ko, row(bo), row(ln1s), row(ln1b),
                   w1, row(b1), w2, row(b2), row(ln2s), row(ln2b))
-        bias = window_ops.packed_block_bias(block_ts)
         x = feats.astype(self.dtype)
         p = pos.astype(self.dtype)
-        if jax.devices()[0].platform == "cpu":
-            out = reference_encoder_layer(x, p, valid, bias, params, h)
+        on_cpu = jax.devices()[0].platform == "cpu"
+        if wid is not None:
+            if on_cpu:
+                out = reference_encoder_layer_wid(x, p, valid, wid, params, h)
+            else:
+                out = fused_encoder_layer_wid(x, p, valid, wid, params, h)
         else:
-            out = fused_encoder_layer(x, p, valid, bias, params, h)
+            bias = window_ops.packed_block_bias(block_ts)
+            if on_cpu:
+                out = reference_encoder_layer(x, p, valid, bias, params, h)
+            else:
+                out = fused_encoder_layer(x, p, valid, bias, params, h)
         return out * valid[..., None].astype(out.dtype)
 
 
@@ -470,7 +478,11 @@ class CanvasShiftBlock(nn.Module):
                 # joint-budget packing: one (B, S) stream per shift, window
                 # identity carried per slot (wid) instead of a static
                 # per-block sub-window size
-                layer = BucketEncoderLayer(
+                use_fused = (self.fused_layer and self.cosine and
+                             self.activation == "gelu")
+                layer_cls = FusedBucketEncoderLayer if use_fused \
+                    else BucketEncoderLayer
+                layer = layer_cls(
                     self.d_model, self.nhead, self.dim_feedforward,
                     activation=self.activation, cosine=self.cosine,
                     tau_min=self.tau_min, dtype=self.dtype,

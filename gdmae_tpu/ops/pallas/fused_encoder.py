@@ -308,3 +308,164 @@ def reference_encoder_layer(x, pos, valid, bias_nb, params, nhead):
     return jax.vmap(
         lambda xs, ps, ks: jax.vmap(one)(xs, ps, ks, bias_nb)
     )(x, pos, kb)
+
+
+# ---------------------------------------------------------------------------
+# wid variant: per-slot window-id mask (JointPlan packing) instead of a
+# static per-block sub-window bias.  The (S, S) bias never exists in HBM —
+# each grid step rebuilds it in VMEM from the block's (1, S) int32 wid row.
+# ---------------------------------------------------------------------------
+
+def _wid_bias(wrow):
+    """(1, S) int32 window ids -> (S, S) f32 additive bias (0 where
+    wid[t] == wid[s], -1e9 across windows)."""
+    s = wrow.shape[-1]
+    return jnp.where(wrow.reshape(s, 1) == wrow.reshape(1, s),
+                     jnp.float32(0.0), jnp.float32(-1e9))
+
+
+def _fwd_kernel_wid(h, g, x_ref, pos_ref, kb_ref, wid_ref, *rest):
+    param_refs, (o_ref,) = rest[:_N_PARAMS], rest[_N_PARAMS:]
+    params = tuple(r[:] for r in param_refs)
+    for gi in range(g):
+        o_ref[gi] = _layer_block(
+            x_ref[gi], pos_ref[gi], kb_ref[gi], _wid_bias(wid_ref[gi]),
+            params, h)
+
+
+def _bwd_kernel_wid(h, g, x_ref, pos_ref, kb_ref, wid_ref, *rest):
+    param_refs = rest[:_N_PARAMS]
+    g_ref = rest[_N_PARAMS]
+    dx_ref, dpos_ref = rest[_N_PARAMS + 1], rest[_N_PARAMS + 2]
+    dparam_refs = rest[_N_PARAMS + 3:]
+    params = tuple(r[:] for r in param_refs)
+
+    dps_acc = None
+    for gi in range(g):
+        def f(x, pos, *ps):
+            return _layer_block(
+                x, pos, kb_ref[gi], _wid_bias(wid_ref[gi]), ps, h)
+
+        _, vjp = jax.vjp(f, x_ref[gi], pos_ref[gi], *params)
+        grads = vjp(g_ref[gi])
+        dx_ref[gi] = grads[0]
+        dpos_ref[gi] = grads[1]
+        dps = grads[2:]
+        dps_acc = dps if dps_acc is None else tuple(
+            a + b for a, b in zip(dps_acc, dps))
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for r, dp in zip(dparam_refs, dps_acc):
+            r[:] = dp
+
+    @pl.when(step > 0)
+    def _acc():
+        for r, dp in zip(dparam_refs, dps_acc):
+            r[:] = r[:] + dp
+
+
+def _pick_group_n(n, s=128, c=128, h=8, f=256):
+    """Blocks per grid step: must divide n, and the unrolled per-block
+    jax.vjp residuals of the backward kernel plus the f32 params and their
+    grad accumulators must fit scoped VMEM (~16 MiB; measured 26.6 MiB at
+    c=256, h=8, f=512, g=8 — 10.6 MiB over the limit).  Per-block residual
+    estimate: 3 f32 (S, H·S) logit-sized arrays + ~20 bf16 (S, C) token
+    arrays + 4 bf16 (S, F) FFN-hidden arrays, calibrated ×0.85 against the
+    measured overflow."""
+    per_block = int(0.85 * (3 * s * h * s * 4 + 20 * s * c * 2
+                            + 4 * s * f * 2))
+    param_f32 = c * 3 * c + 3 * c + h + c * c + c * f + f + f * c + 5 * c
+    budget = 14 * 2 ** 20 - 2 * 4 * param_f32  # params + grad accumulators
+    for g in (8, 4, 2):
+        if n % g == 0 and g * per_block <= budget:
+            return g
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_layer_wid(h, interpret, x, pos, kb, wid, params):
+    """x/pos (N, S, C); kb (N, 1, S) f32; wid (N, 1, S) int32; params:
+    13-tuple (see _layer_block)."""
+    n, s, c = x.shape
+    g = _pick_group_n(n, s=s, c=c, h=h, f=params[7].shape[1])
+    blk = pl.BlockSpec((g, s, c), lambda i: (i, 0, 0))
+    row = pl.BlockSpec((g, 1, s), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_wid, h, g),
+        out_shape=jax.ShapeDtypeStruct((n, s, c), x.dtype),
+        grid=(n // g,),
+        in_specs=[blk, blk, row, row] + _param_specs(params),
+        out_specs=blk,
+        interpret=interpret,
+    )(x, pos, kb, wid, *params)
+
+
+def _fused_layer_wid_fwd(h, interpret, x, pos, kb, wid, params):
+    out = _fused_layer_wid(h, interpret, x, pos, kb, wid, params)
+    return out, (x, pos, kb, wid, params)
+
+
+def _fused_layer_wid_bwd(h, interpret, res, g_out):
+    x, pos, kb, wid, params = res
+    n, s, c = x.shape
+    g = _pick_group_n(n, s=s, c=c, h=h, f=params[7].shape[1])
+    blk = pl.BlockSpec((g, s, c), lambda i: (i, 0, 0))
+    row = pl.BlockSpec((g, 1, s), lambda i: (i, 0, 0))
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_wid, h, g),
+        out_shape=[jax.ShapeDtypeStruct((n, s, c), x.dtype)] * 2
+        + [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params],
+        grid=(n // g,),
+        in_specs=[blk, blk, row, row] + _param_specs(params) + [blk],
+        out_specs=[blk, blk] + _param_specs(params),
+        interpret=interpret,
+    )(x, pos, kb, wid, *params, g_out)
+    dx, dpos = outs[0], outs[1]
+    dparams = tuple(outs[2:])
+    return dx, dpos, None, None, dparams
+
+
+_fused_layer_wid.defvjp(_fused_layer_wid_fwd, _fused_layer_wid_bwd)
+
+
+def fused_encoder_layer_wid(x, pos, valid, wid, params, nhead,
+                            interpret: bool = False):
+    """Full encoder layer over JointPlan-packed 128-token blocks, one fused
+    kernel; attention is masked by per-slot window id (query t attends key
+    s iff ``wid[t] == wid[s]`` and the key is valid) instead of the static
+    per-block bias of :func:`fused_encoder_layer`.
+
+    Args:
+        x, pos: (B, NB, S, C) packed token blocks / position embeds.
+        valid: (B, NB, S) bool key-padding mask.
+        wid: (B, NB, S) int32 per-slot window ids (-1 on padding; padding
+            slots are also valid=False so -1 == -1 matches are masked).
+        params: 13-tuple of f32 parameter arrays (see ``_layer_block``).
+        nhead: static head count.
+    Returns:
+        (B, NB, S, C); invalid token rows are garbage (callers mask, or the
+        inverse-index scatter drops them).
+    """
+    b, nb, s, c = x.shape
+    kb = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+    n = b * nb
+    out = _fused_layer_wid(
+        nhead, interpret,
+        x.reshape(n, s, c), pos.reshape(n, s, c),
+        kb.reshape(n, 1, s), wid.reshape(n, 1, s), tuple(params))
+    return out.reshape(b, nb, s, c)
+
+
+def reference_encoder_layer_wid(x, pos, valid, wid, params, nhead):
+    """Pure-XLA oracle for :func:`fused_encoder_layer_wid` (tests/CPU)."""
+    b, nb, s, c = x.shape
+    kb = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+
+    def one(xb, pb, kbb, wb):
+        return _layer_block(xb, pb, kbb[None], _wid_bias(wb[None]),
+                            tuple(params), nhead)
+
+    return jax.vmap(jax.vmap(one))(x, pos, kb, wid)

@@ -177,3 +177,123 @@ def test_fused_layer_in_canvas_shift_block():
     out_fus = blk_fus.apply(variables, rows, plans)
     np.testing.assert_allclose(np.asarray(out_fus), np.asarray(out_ref),
                                rtol=3e-5, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# wid variant (JointPlan packing: per-slot window-id mask instead of a
+# static per-block sub-window bias)
+# ---------------------------------------------------------------------------
+
+def _rand_wid(seed, b, nb, s, max_win=9):
+    """Random sorted per-block window ids with -1 on invalid slots."""
+    rng = np.random.RandomState(seed)
+    wid = np.sort(rng.randint(0, max_win, (b, nb, s)), axis=-1)
+    # make ids globally unique per (b, block) so cross-block ids never
+    # collide in meaning (matches JointPlan's flat window numbering)
+    wid += (np.arange(nb) * max_win)[None, :, None]
+    valid = rng.rand(b, nb, s) > 0.25
+    valid[..., 0] = True
+    wid = np.where(valid, wid, -1)
+    return jnp.asarray(wid.astype(np.int32)), jnp.asarray(valid)
+
+
+@pytest.mark.parametrize("b,nb,c,h,f", [
+    (2, 3, 64, 4, 128),
+    (1, 1, 128, 8, 256),
+])
+def test_fused_wid_matches_reference(b, nb, c, h, f):
+    from gdmae_tpu.ops.pallas.fused_encoder import (
+        fused_encoder_layer_wid, reference_encoder_layer_wid)
+
+    x, pos, _, _, params = _rand_setup(4, b, (64,) * nb, c, h, f)
+    wid, valid = _rand_wid(5, b, nb, 128)
+    ref = reference_encoder_layer_wid(x, pos, valid, wid, params, h)
+    got = fused_encoder_layer_wid(x, pos, valid, wid, params, h,
+                                  interpret=True)
+    m = np.asarray(valid)[..., None]
+    np.testing.assert_allclose(np.asarray(got) * m, np.asarray(ref) * m,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_wid_gradients_match_reference():
+    from gdmae_tpu.ops.pallas.fused_encoder import (
+        fused_encoder_layer_wid, reference_encoder_layer_wid)
+
+    b, nb, c, h, f = 1, 2, 64, 4, 128
+    x, pos, _, _, params = _rand_setup(6, b, (64,) * nb, c, h, f)
+    wid, valid = _rand_wid(7, b, nb, 128)
+    tgt = jnp.asarray(
+        np.random.RandomState(8).randn(b, nb, 128, c).astype(np.float32))
+    wm = valid[..., None].astype(jnp.float32)
+
+    def loss_ref(x, pos, params):
+        r = reference_encoder_layer_wid(x, pos, valid, wid, params, h)
+        return jnp.sum(((r - tgt) * wm) ** 2)
+
+    def loss_fused(x, pos, params):
+        r = fused_encoder_layer_wid(x, pos, valid, wid, params, h,
+                                    interpret=True)
+        return jnp.sum(((r - tgt) * wm) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, pos, params)
+    g_got = jax.grad(loss_fused, argnums=(0, 1, 2))(x, pos, params)
+    np.testing.assert_allclose(np.asarray(g_got[0]), np.asarray(g_ref[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_got[1]), np.asarray(g_ref[1]),
+                               rtol=2e-4, atol=2e-4)
+    for i, (a, r) in enumerate(zip(g_got[2], g_ref[2])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=3e-4, atol=3e-4,
+            err_msg=f"param grad {i}")
+
+
+def test_fused_layer_joint_plan_in_canvas_shift_block():
+    """CanvasShiftBlock on a JointPlan with fused_layer=True matches the
+    unfused wid path, sharing one param tree."""
+    from gdmae_tpu.models.model_utils.sst_layers import CanvasShiftBlock
+    from gdmae_tpu.ops import window as W
+
+    rng = np.random.RandomState(21)
+    b, m, c = 2, 200, 64
+    ny, nx = 32, 32
+    coords = np.stack([rng.randint(0, ny, (b, m)),
+                       rng.randint(0, nx, (b, m))], -1)
+    for bi in range(b):
+        cells = coords[bi, :, 0] * nx + coords[bi, :, 1]
+        _, first = np.unique(cells, return_index=True)
+        keep = np.zeros(m, bool)
+        keep[first] = True
+        coords[bi, ~keep] = 0
+        coords[bi, ~keep, 0] = ny - 1
+    mask = np.ones((b, m), bool)
+    occ = np.zeros((b, ny, nx), bool)
+    for bi in range(b):
+        occ[bi, coords[bi, :, 0], coords[bi, :, 1]] = True
+    rows = jnp.asarray(rng.randn(b, m, c).astype(np.float32))
+    coords_j, mask_j = jnp.asarray(coords), jnp.asarray(mask)
+    occ_j = jnp.asarray(occ)
+
+    window = (8, 8)
+    specs = W.drop_specs_from_cfg({
+        "0": {"max_tokens": 16, "drop_range": [0, 16]},
+        "1": {"max_tokens": 32, "drop_range": [16, 32]},
+        "2": {"max_tokens": 64, "drop_range": [32, 100000]},
+    })
+    c2t = W.build_cell2tok(coords_j, mask_j, (ny, nx))
+    tcell = W.token_cell_index(coords_j, mask_j, (ny, nx))
+    plans = [
+        W.joint_plan_to_tokens(
+            W.build_joint_plan(occ_j, (ny, nx), window, shift, specs, 512),
+            c2t, tcell, m)
+        for shift in ((0, 0), (4, 4))
+    ]
+
+    kw = dict(d_model=c, nhead=4, dim_feedforward=96, window=window,
+              cosine=True, tau_min=0.01)
+    blk_ref = CanvasShiftBlock(**kw, fused_layer=False)
+    blk_fus = CanvasShiftBlock(**kw, fused_layer=True)
+    variables = blk_ref.init(jax.random.PRNGKey(0), rows, plans)
+    out_ref = blk_ref.apply(variables, rows, plans)
+    out_fus = blk_fus.apply(variables, rows, plans)
+    np.testing.assert_allclose(np.asarray(out_fus), np.asarray(out_ref),
+                               rtol=3e-5, atol=3e-5)
