@@ -12,6 +12,7 @@ target from BASELINE.json -> baseline = 600 scans/sec.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -19,6 +20,10 @@ from pathlib import Path
 import numpy as np
 
 REPO = Path(__file__).resolve().parent
+# persistent compile cache: the full train-step compile through the remote
+# tunnel is minutes; repeat bench runs on unchanged code should hit cache
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 A100_EST_SCANS_PER_SEC = 150.0
 TARGET_MULT = 4.0
 
@@ -72,6 +77,20 @@ def main():
         list(c) for c in window_caps_for(cap_pts, drop_specs=drop_specs)]
     print(f"window caps: {cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS}",
           file=sys.stderr, flush=True)
+    # joint-budget window packing (ops.window.JointPlan): fastest measured
+    # configuration (319.9 vs 342.3 ms fused / 377.5 ms pow2-bucket at
+    # batch 16 — PERFORMANCE.md round-2 update); A/B knobs:
+    # GDMAE_BENCH_MODE=bucket, GDMAE_BENCH_FUSED=1 (fused Pallas layer,
+    # measured ~7% slower than the XLA joint path under equal contention)
+    if os.environ.get("GDMAE_BENCH_MODE", "joint") == "joint":
+        from tools.bench_common import joint_budgets_for
+        cfg.MODEL.BACKBONE_3D.TPU_WINDOW_MODE = "joint"
+        cfg.MODEL.BACKBONE_3D.TPU_JOINT_BUDGETS = joint_budgets_for(
+            cap_pts, drop_specs=drop_specs)
+        print(f"joint budgets: {cfg.MODEL.BACKBONE_3D.TPU_JOINT_BUDGETS}",
+              file=sys.stderr, flush=True)
+    if os.environ.get("GDMAE_BENCH_FUSED", "0") != "0":
+        cfg.MODEL.BACKBONE_3D.TPU_FUSED_LAYER = True
 
     def try_batch(batch_size, remat):
         cfg.MODEL.BACKBONE_3D.TPU_REMAT = remat
