@@ -102,6 +102,16 @@ class CosineMultiheadAttention(nn.Module):
             if os.environ.get("GDMAE_ABLATE_MHA"):  # profiling-only knob
                 out = vv * valid[..., None].astype(vv.dtype) \
                     + q.sum() * 1e-30 + k.sum() * 1e-30
+            elif jax.devices()[0].platform != "cpu" and t == 128 and \
+                    os.environ.get("GDMAE_WID_FLASH", "0") != "0":
+                # flash attention core (ops.pallas.fused_encoder): logits /
+                # probs / wid mask live only in VMEM, inputs stay
+                # token-major (no head-major (B, NB, H, T, hd) HBM tensors).
+                # OPT-IN: measured 341.6 vs 312.7 ms full step at MAE-bench
+                # batch 16 — the per-grid-step overhead + H-fold logit
+                # expansion loses to XLA's einsum here (PERFORMANCE.md)
+                from ...ops.pallas.fused_encoder import wid_flash_attention
+                out = wid_flash_attention(q, k, vv, valid, wid, h)
             else:
                 def heads(x):
                     return jnp.moveaxis(x.reshape(b, nb, t, h, hd), -2, -3)

@@ -469,3 +469,158 @@ def reference_encoder_layer_wid(x, pos, valid, wid, params, nhead):
                             tuple(params), nhead)
 
     return jax.vmap(jax.vmap(one))(x, pos, kb, wid)
+
+
+# ---------------------------------------------------------------------------
+# Attention-core flash kernel (joint/wid packing): ONLY the masked softmax
+# attention — QK^T, wid mask, softmax, PV — fused per 128-token block, with
+# projections / FFN / LayerNorms left to XLA (which stores their activations,
+# so the backward recompute here re-pays only two small matmuls, not the
+# whole layer the way fused_encoder_layer_wid's backward does).
+#
+# Wins over the XLA einsum path (sst_layers wid route):
+#   * logits and probabilities never exist in HBM (fwd OR bwd);
+#   * no (B, NB, H, T, hd) head-major tensors — hd = 16/32 minor dims pad
+#     8x/4x in (8, 128) HBM tiles; inputs stay token-major (N, S, C);
+#   * the (B, NB, T, T) wid-equality mask is rebuilt in VMEM per block.
+# ---------------------------------------------------------------------------
+
+
+def _attn_block(q, k, v, kb, bias, h):
+    """Masked multi-head attention core for one (S, C) token block.
+
+    q is expected pre-scaled (cosine 1/tau or 1/sqrt(hd) folded in by the
+    caller).  Per-head split uses the head-block-diagonal expansion — no
+    (S, H, hd) reshapes (see module docstring of this section).
+
+    Args:
+        q, k, v: (S, C) compute-dtype; kb: (1, S) f32 key-padding bias;
+        bias: (S, S) f32 window mask bias; h: static head count.
+    Returns:
+        (S, C) attention output (pre out-projection), q.dtype.
+    """
+    s, c = q.shape
+    cdt = q.dtype
+    k_t = jnp.swapaxes(k, 0, 1)  # (C, S)
+    k_bd = (k_t[:, None, :] * _headmask_ch(c, h, cdt)).reshape(c, h * s)
+    logits = jax.lax.dot_general(
+        q, k_bd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (S, H*S)
+    l3 = logits.reshape(s, h, s) + bias[:, None, :] + kb.reshape(1, 1, s)
+    m = jnp.max(l3, axis=-1, keepdims=True)
+    e = jnp.exp(l3 - m)
+    p3 = e / jnp.sum(e, axis=-1, keepdims=True)
+    p = p3.reshape(s, h * s).astype(cdt)
+    v_bd = (v[None] * _headmask_hc(c, h, cdt)).reshape(h * s, c)
+    return jax.lax.dot_general(
+        p, v_bd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(cdt)
+
+
+def _flash_fwd_kernel(h, g, q_ref, k_ref, v_ref, kb_ref, wid_ref, o_ref):
+    for gi in range(g):
+        o_ref[gi] = _attn_block(
+            q_ref[gi], k_ref[gi], v_ref[gi], kb_ref[gi],
+            _wid_bias(wid_ref[gi]), h)
+
+
+def _flash_bwd_kernel(h, g, q_ref, k_ref, v_ref, kb_ref, wid_ref, g_ref,
+                      dq_ref, dk_ref, dv_ref):
+    for gi in range(g):
+        def f(q, k, v):
+            return _attn_block(q, k, v, kb_ref[gi], _wid_bias(wid_ref[gi]), h)
+
+        _, vjp = jax.vjp(f, q_ref[gi], k_ref[gi], v_ref[gi])
+        dq, dk, dv = vjp(g_ref[gi])
+        dq_ref[gi] = dq
+        dk_ref[gi] = dk
+        dv_ref[gi] = dv
+
+
+def _flash_group(n, s, c, h):
+    """Blocks per grid step: divide n; keep the unrolled per-block working
+    set (f32 logit-sized arrays + token blocks) inside scoped VMEM."""
+    per_block = 4 * s * h * s * 4 + 10 * s * c * 2
+    for g in (8, 4, 2):
+        if n % g == 0 and g * per_block <= 12 * 2 ** 20:
+            return g
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flash_attn(h, interpret, q, k, v, kb, wid):
+    n, s, c = q.shape
+    g = _flash_group(n, s, c, h)
+    blk = pl.BlockSpec((g, s, c), lambda i: (i, 0, 0))
+    row = pl.BlockSpec((g, 1, s), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, h, g),
+        out_shape=jax.ShapeDtypeStruct((n, s, c), q.dtype),
+        grid=(n // g,),
+        in_specs=[blk, blk, blk, row, row],
+        out_specs=blk,
+        interpret=interpret,
+    )(q, k, v, kb, wid)
+
+
+def _flash_attn_fwd(h, interpret, q, k, v, kb, wid):
+    return _flash_attn(h, interpret, q, k, v, kb, wid), (q, k, v, kb, wid)
+
+
+def _flash_attn_bwd(h, interpret, res, g_out):
+    q, k, v, kb, wid = res
+    n, s, c = q.shape
+    g = _flash_group(n, s, c, h)
+    blk = pl.BlockSpec((g, s, c), lambda i: (i, 0, 0))
+    row = pl.BlockSpec((g, 1, s), lambda i: (i, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, h, g),
+        out_shape=[jax.ShapeDtypeStruct((n, s, c), q.dtype)] * 3,
+        grid=(n // g,),
+        in_specs=[blk, blk, blk, row, row, blk],
+        out_specs=[blk, blk, blk],
+        interpret=interpret,
+    )(q, k, v, kb, wid, g_out)
+    return dq, dk, dv, None, None
+
+
+_flash_attn.defvjp(_flash_attn_fwd, _flash_attn_bwd)
+
+
+def wid_flash_attention(q, k, v, valid, wid, nhead, interpret: bool = False):
+    """Masked window attention over JointPlan-packed 128-token blocks as one
+    flash-style Pallas kernel: query t attends key s iff ``wid[t] == wid[s]``
+    and the key is valid.  Numerics match
+    ``window_attention.wid_window_attention`` modulo its bf16-logits option
+    (logits here are always f32, in VMEM — the bandwidth motivation for
+    bf16 logits does not apply).
+
+    Args:
+        q, k, v: (B, NB, S, C) token-major packed blocks; q pre-scaled
+            (cosine 1/tau or 1/sqrt(hd) folded in).
+        valid: (B, NB, S) bool key mask; wid: (B, NB, S) int32 window ids
+            (-1 on padding; padding is also valid=False).
+        nhead: static head count.
+    Returns:
+        (B, NB, S, C) attention output (pre out-projection); invalid token
+        rows are garbage (callers mask, or the packed scatter drops them).
+    """
+    b, nb, s, c = q.shape
+    n = b * nb
+    kb = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+    out = _flash_attn(
+        nhead, interpret,
+        q.reshape(n, s, c), k.reshape(n, s, c), v.reshape(n, s, c),
+        kb.reshape(n, 1, s), wid.reshape(n, 1, s))
+    return out.reshape(b, nb, s, c)
+
+
+def reference_wid_flash_attention(q, k, v, valid, wid, nhead):
+    """Pure-XLA oracle for :func:`wid_flash_attention` (tests/CPU)."""
+    b, nb, s, c = q.shape
+    kb = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+
+    def one(qb, kbk, vb, kbb, wb):
+        return _attn_block(qb, kbk, vb, kbb[None], _wid_bias(wb[None]), nhead)
+
+    return jax.vmap(jax.vmap(one))(q, k, v, kb, wid)

@@ -165,6 +165,21 @@ def reg_loss_centernet(pred, gt_regr, mask):
     return loss / jnp.clip(num, 1.0, None)
 
 
+def _pairwise_d2(pred, gt):
+    """(N, P1, P2) squared distances from COORDINATE PLANES.
+
+    ``jnp.sum((pred[:, :, None] - gt[:, None]) ** 2, -1)`` keeps a size-3
+    minor dim through the broadcast — TPU tiles are (8, 128) in the last
+    two dims, so every (..., 3) intermediate pads ~42x and the reduction
+    runs at lane-occupancy 3/128.  Splitting xyz into three (N, P) planes
+    makes every intermediate (N, P1, P2) with P2 on the lane dim."""
+    px, py, pz = (pred[..., i] for i in range(3))
+    gx, gy, gz = (gt[..., i] for i in range(3))
+    return ((px[:, :, None] - gx[:, None, :]) ** 2
+            + (py[:, :, None] - gy[:, None, :]) ** 2
+            + (pz[:, :, None] - gz[:, None, :]) ** 2)
+
+
 @jax.custom_vjp
 def _chamfer_mins(pred, gt, pen_pg, pen_gp):
     """Nearest-neighbour squared distances in both directions.
@@ -179,7 +194,7 @@ def _chamfer_mins(pred, gt, pen_pg, pen_gp):
     one-hot selection with einsums, so every (N, P1, P2) intermediate
     stays inside one XLA fusion.
     """
-    d2 = jnp.sum((pred[:, :, None, :] - gt[:, None, :, :]) ** 2, axis=-1)
+    d2 = _pairwise_d2(pred, gt)
     min_pg = (d2 + pen_pg[:, None, :]).min(axis=2)
     min_gp = (d2 + pen_gp[:, :, None]).min(axis=1)
     return min_pg, min_gp
@@ -194,7 +209,7 @@ def _chamfer_mins_bwd(res, cts):
     g_pg, g_gp = cts  # (N, P1), (N, P2)
     n, p1, _ = pred.shape
     p2 = gt.shape[1]
-    d2 = jnp.sum((pred[:, :, None, :] - gt[:, None, :, :]) ** 2, axis=-1)
+    d2 = _pairwise_d2(pred, gt)
     iq = jnp.arange(p2, dtype=jnp.int32)
     ip = jnp.arange(p1, dtype=jnp.int32)
     # one-hot argmin selections, scaled by the upstream cotangent; ties
@@ -205,17 +220,18 @@ def _chamfer_mins_bwd(res, cts):
     idx_gp = jnp.argmin(d2 + pen_gp[:, :, None], axis=1)  # (N, P2)
     oh_gp = (ip[None, :, None] == idx_gp[:, None, :]).astype(pred.dtype)
     oh_gp = oh_gp * g_gp[:, None, :]  # (N, P1, P2)
-    # d min_pg[p] / d pred[p] = 2 (pred[p] - gt[q*]); gt side transposed
-    s_pg = oh_pg.sum(axis=2)  # (N, P1)
-    gt_sel = jnp.einsum("npq,nqd->npd", oh_pg, gt)
-    s_gp = oh_gp.sum(axis=2)  # (N, P1) selected-as-nearest weights
-    gt_w = jnp.einsum("npq,nqd->npd", oh_gp, gt)
-    dpred = 2.0 * (pred * (s_pg + s_gp)[..., None] - gt_sel - gt_w)
-    t_pg = oh_pg.sum(axis=1)  # (N, P2)
-    pred_t = jnp.einsum("npq,npd->nqd", oh_pg, pred)
-    t_gp = oh_gp.sum(axis=1)
-    pred_sel = jnp.einsum("npq,npd->nqd", oh_gp, pred)
-    dgt = 2.0 * (gt * (t_pg + t_gp)[..., None] - pred_t - pred_sel)
+    # all selection contractions run per coordinate PLANE ((N, P) lane-major
+    # operands — see _pairwise_d2's layout note); d min_pg[p] / d pred[p]
+    # = 2 (pred[p] - gt[q*]), and the gt side is the transposed selection
+    oh = oh_pg + oh_gp  # (N, P1, P2), each scaled by its cotangent
+    s_p = oh.sum(axis=2)  # (N, P1)
+    t_g = oh.sum(axis=1)  # (N, P2)
+    dpred = jnp.stack(
+        [2.0 * (pred[..., i] * s_p - jnp.einsum("npq,nq->np", oh, gt[..., i]))
+         for i in range(3)], axis=-1)
+    dgt = jnp.stack(
+        [2.0 * (gt[..., i] * t_g - jnp.einsum("npq,np->nq", oh, pred[..., i]))
+         for i in range(3)], axis=-1)
     return dpred, dgt, jnp.zeros_like(pen_pg), jnp.zeros_like(pen_gp)
 
 

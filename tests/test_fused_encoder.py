@@ -297,3 +297,52 @@ def test_fused_layer_joint_plan_in_canvas_shift_block():
     out_fus = blk_fus.apply(variables, rows, plans)
     np.testing.assert_allclose(np.asarray(out_fus), np.asarray(out_ref),
                                rtol=3e-5, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# attention-core flash kernel (wid mask; projections/FFN stay in XLA)
+# ---------------------------------------------------------------------------
+
+def test_wid_flash_attention_matches_oracles():
+    """Kernel (interpret) == its XLA oracle == the head-major
+    wid_window_attention path it replaces, values AND input grads."""
+    from gdmae_tpu.ops.pallas.fused_encoder import (
+        reference_wid_flash_attention, wid_flash_attention)
+    from gdmae_tpu.ops.pallas.window_attention import wid_window_attention
+
+    b, nb, s, c, h = 2, 3, 128, 64, 4
+    hd = c // h
+    rng = np.random.RandomState(11)
+    q = jnp.asarray(rng.randn(b, nb, s, c).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(b, nb, s, c).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(b, nb, s, c).astype(np.float32)) * 0.5
+    wid, valid = _rand_wid(12, b, nb, s)
+    m = np.asarray(valid)[..., None]
+
+    def headmajor(q, k, v):  # the route wid_flash_attention replaces
+        def heads(x):
+            return jnp.moveaxis(x.reshape(b, nb, s, h, hd), -2, -3)
+        out = wid_window_attention(heads(q), heads(k), heads(v), valid, wid,
+                                   True)
+        return jnp.moveaxis(out, -3, -2).reshape(b, nb, s, c)
+
+    ref_hm = headmajor(q, k, v)
+    ref_xla = reference_wid_flash_attention(q, k, v, valid, wid, h)
+    got = wid_flash_attention(q, k, v, valid, wid, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref_xla) * m,
+                               np.asarray(ref_hm) * m, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got) * m, np.asarray(ref_hm) * m,
+                               rtol=2e-5, atol=2e-5)
+
+    tgt = jnp.asarray(rng.randn(b, nb, s, c).astype(np.float32))
+    wm = valid[..., None].astype(jnp.float32)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(((fn(q, k, v) - tgt) * wm) ** 2)
+
+    g_ref = jax.grad(loss(headmajor), argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss(lambda q, k, v: wid_flash_attention(
+        q, k, v, valid, wid, h, interpret=True)), argnums=(0, 1, 2))(q, k, v)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(g_got[i]), np.asarray(g_ref[i]),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"grad {i}")

@@ -230,6 +230,37 @@ def main():
                 return x
             return orig_conv(self, x, occ_out=occ_out, train=train)
         blocks_mod.ConvBNReLU.__call__ = conv_stub
+    if "notokconv" in variants:
+        # gather-based token convs (TPU_SPARSE_CONV path) become a single
+        # channel-matching matmul — measures the 3x3 TAP GATHER cost of
+        # conv_down/conv_out while keeping channel/stride dataflow intact
+        from gdmae_tpu.models.model_utils import blocks as blocks_mod
+        from flax import linen as fnn
+
+        class TokStub(fnn.Module):
+            features: int
+            kernel: int = 3
+            stride: int = 1
+            dtype: object = jnp.float32
+
+            @fnn.compact
+            def __call__(self, tokens, cell2tok_in, grid_in_hw, coords_out,
+                         mask_out, coords_in=None, mask_in=None, train=True):
+                out = fnn.Dense(self.features, use_bias=False,
+                                dtype=self.dtype, name="stub")(tokens)
+                m_out = mask_out.shape[1]
+                if out.shape[1] > m_out:
+                    out = out[:, :m_out, :]
+                elif out.shape[1] < m_out:
+                    out = jnp.pad(
+                        out, ((0, 0), (0, m_out - out.shape[1]), (0, 0)))
+                dep = (jnp.sum(cell2tok_in) + jnp.sum(coords_out)) * 1e-30
+                out = out + dep.astype(out.dtype)
+                return out * mask_out[..., None].astype(out.dtype)
+
+        blocks_mod.TokenConvBNReLU = TokStub
+        from gdmae_tpu.models.backbones_3d import spt_backbone as spt_mod3
+        spt_mod3.TokenConvBNReLU = TokStub
     if "nocanvas" in variants:
         # canvas scatter/gather + occupancy builds become cheap broadcasts
         # (combine with noplans: the all-true fake occupancy would inflate
@@ -261,7 +292,7 @@ def main():
         window_mod.occupancy_from_coords = fake_occ
     known = {"full", "sgd", "noloss", "nofuse", "noattn", "noplans", "novfe", "nop2t", "notok", "nochamfer",
              "sparseconv", "nofuseremat", "conv1x1", "nobn", "nomask",
-             "densewin", "noconv", "nocanvas"}
+             "densewin", "noconv", "nocanvas", "notokconv"}
     if variants - known:
         raise SystemExit(f"unknown variants {variants - known}")
 
