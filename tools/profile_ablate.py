@@ -21,6 +21,9 @@ Variants:
   sgd        — optimizer swapped for plain SGD (measures adam+clip+onecycle)
   nomask     — MAE random masking + kept-compaction replaced by a static
                every-k-th-pillar selection (measures masking/nonzero cost)
+  notokconv  — sparse token convs become a single channel matmul (measures
+               the 3x3 tap-gather cost of conv_down/conv_out)
+  denseconv  — TPU_SPARSE_CONV off: dense masked canvas convs (A/B)
 """
 from __future__ import annotations
 
@@ -261,6 +264,8 @@ def main():
         blocks_mod.TokenConvBNReLU = TokStub
         from gdmae_tpu.models.backbones_3d import spt_backbone as spt_mod3
         spt_mod3.TokenConvBNReLU = TokStub
+    if "denseconv" in variants:
+        cfg.MODEL.BACKBONE_3D.TPU_SPARSE_CONV = False
     if "nocanvas" in variants:
         # canvas scatter/gather + occupancy builds become cheap broadcasts
         # (combine with noplans: the all-true fake occupancy would inflate
@@ -292,7 +297,7 @@ def main():
         window_mod.occupancy_from_coords = fake_occ
     known = {"full", "sgd", "noloss", "nofuse", "noattn", "noplans", "novfe", "nop2t", "notok", "nochamfer",
              "sparseconv", "nofuseremat", "conv1x1", "nobn", "nomask",
-             "densewin", "noconv", "nocanvas", "notokconv"}
+             "densewin", "noconv", "nocanvas", "notokconv", "denseconv"}
     if variants - known:
         raise SystemExit(f"unknown variants {variants - known}")
 
