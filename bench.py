@@ -91,6 +91,11 @@ def main():
               file=sys.stderr, flush=True)
     if os.environ.get("GDMAE_BENCH_FUSED", "0") != "0":
         cfg.MODEL.BACKBONE_3D.TPU_FUSED_LAYER = True
+    # A/B: per-stage dense-vs-gather convs, e.g. GDMAE_BENCH_SPCONV=1,0,0
+    spconv_env = os.environ.get("GDMAE_BENCH_SPCONV")
+    if spconv_env:
+        cfg.MODEL.BACKBONE_3D.TPU_SPARSE_CONV = [
+            bool(int(v)) for v in spconv_env.split(",")]
 
     def try_batch(batch_size, remat):
         cfg.MODEL.BACKBONE_3D.TPU_REMAT = remat

@@ -536,14 +536,20 @@ class SPTBackbone(nn.Module):
         caps = self.stage_caps(b)
         tok_caps = cfg.get("TPU_TOKEN_CAPS", None)
         joint_budgets = cfg.get("TPU_JOINT_BUDGETS", None)
-        feature_maps, occs, strides = {}, {}, {}
+        feature_maps, occs, strides, stage_tok = {}, {}, {}, {}
         stride = 1
         canvas = None
+        # TPU_SPARSE_CONV: bool, or one bool per stage — gather-based token
+        # convs win on large sparse grids (stage 1); on small late-stage
+        # grids whose token cap approaches the cell count, regular masked
+        # dense convs can be faster (no gathers)
+        sp_conv = cfg.get("TPU_SPARSE_CONV", False)
         for i, blk in enumerate(cfg.SST_BLOCK_LIST):
             tokens, coords, mask, occ, canvas, c2t = SSTBlock(
                 block_cfg=blk, grid_hw=grids[i], win_caps=caps[i],
                 token_cap_out=int(tok_caps[i]) if tok_caps is not None else 0,
-                sparse_conv=bool(cfg.get("TPU_SPARSE_CONV", False)),
+                sparse_conv=bool(sp_conv[i] if isinstance(
+                    sp_conv, (list, tuple)) else sp_conv),
                 remat=bool(cfg.get("TPU_REMAT", True)),
                 window_mode=str(cfg.get("TPU_WINDOW_MODE", "bucket")),
                 joint_budget=(int(joint_budgets[i])
@@ -559,6 +565,31 @@ class SPTBackbone(nn.Module):
             feature_maps[f"x_conv{i+1}"] = canvas
             occs[f"x_conv{i+1}"] = occ
             strides[f"x_conv{i+1}"] = stride
+            stage_tok[f"x_conv{i+1}"] = (
+                tokens, coords, mask, c2t,
+                (int(occ.shape[1]), int(occ.shape[2])))
+
+        batch_dict["multi_scale_2d_features"] = feature_maps
+        batch_dict["multi_scale_2d_occupancy"] = occs
+        batch_dict["multi_scale_2d_strides"] = strides
+
+        # TPU_SPARSE_DECODE + decode_coords (MAE pretraining): fuse the
+        # pyramid at the decode sites only — no full-resolution canvas ever
+        # materializes (see sparse_decode.SparseDecodeFuse)
+        if bool(cfg.get("TPU_SPARSE_DECODE", False)) and \
+                "decode_coords" in batch_dict:
+            assert tokens is not None, \
+                "TPU_SPARSE_DECODE needs token-resident stages (not dense)"
+            from .sparse_decode import SparseDecodeFuse
+            batch_dict["decoded_features"] = SparseDecodeFuse(
+                fuse_cfg=cfg.FUSE_LAYER,
+                sources=cfg.FEATURES_SOURCE,
+                full_hw=grids[0],
+                dtype=self.dtype, name="fuse",
+            )(stage_tok, batch_dict["decode_coords"],
+              batch_dict["decode_valid"], train)
+            batch_dict["spatial_features_stride"] = 1
+            return batch_dict
 
         # the fuse works at full canvas resolution (its conv_out input alone
         # is (B, Ny, Nx, 384) — 1.2G at batch 32 bf16): always recompute it
@@ -571,9 +602,6 @@ class SPTBackbone(nn.Module):
             dtype=self.dtype, name="fuse",
         )(feature_maps, train)
 
-        batch_dict["multi_scale_2d_features"] = feature_maps
-        batch_dict["multi_scale_2d_occupancy"] = occs
-        batch_dict["multi_scale_2d_strides"] = strides
         batch_dict["spatial_features"] = spatial_features  # (B, Ny, Nx, C)
         batch_dict["spatial_features_stride"] = 1
         return batch_dict
@@ -653,47 +681,93 @@ class SPTBackboneMAE(nn.Module):
             dtype=self.dtype,
             name="encoder",
         )
-        # run pyramid + generative decoder (deconv fuse) on the kept pillars
+        # Decode set: the loss only covers masked AND real pillars
+        # (reference weights by voxel_mae_mask, spt_backbone_mae.py:88), so
+        # compact the decode/loss work onto that static-capacity subset
+        # instead of running the prediction head + Chamfer over all M
+        # pillars (identical loss value: the dropped rows had weight 0).
+        # Opt out via TPU_MAE_COMPACT_DEC: false (full-M path).
+        compact_dec = bool(cfg.get("TPU_MAE_COMPACT_DEC", True))
+        sparse_decode = bool(cfg.get("TPU_SPARSE_DECODE", False)) and \
+            compact_dec
         sub_dict = {
             "pillar_features": tokens_c,
             "pillar_coords": coords_c,
             "pillar_mask": kept_valid,
         }
+        dec_idx = dec_valid = None
+        if compact_dec:
+            loss_sel = (mae_mask > 0) & pillar_mask  # (B, M) bool
+            m_dec = int(cfg.get(
+                "TPU_MAE_DEC_CAP",
+                -(-int(m * mask_ratio + 1) // 8) * 8))
+            dec_idx = jax.vmap(
+                lambda v: jnp.nonzero(v, size=m_dec, fill_value=m)[0]
+            )(loss_sel)  # (B, m_dec), ascending => coords stay raster-sorted
+            dec_valid = dec_idx < m
+            dec_idx_c = jnp.minimum(dec_idx, m - 1)
+            dec_coords = jnp.take_along_axis(
+                batch_dict["pillar_coords"], dec_idx_c[..., None], axis=1)
+            if sparse_decode:
+                sub_dict["decode_coords"] = dec_coords
+                sub_dict["decode_valid"] = dec_valid
+
+        # run pyramid + generative decoder on the kept pillars
         sub_dict = encoder(sub_dict, train=train)
-        spatial_features = sub_dict["spatial_features"]  # (B, Ny, Nx, C)
+        spatial_features = sub_dict.get("spatial_features")
 
         batch_dict["spatial_features"] = spatial_features
         batch_dict["spatial_features_stride"] = 1
         batch_dict["multi_scale_2d_features"] = sub_dict["multi_scale_2d_features"]
 
-        # gather decoded features at ALL pillar coords (masked + visible)
-        all_feats = gather_canvas_at(
-            spatial_features, batch_dict["pillar_coords"], (ny, nx),
-            mask=batch_dict["pillar_mask"],
-        )  # (B, M, C)
+        points = batch_dict["points"]
+        res = batch_dict["pillarize_result"]
+        if compact_dec:
+            coords = dec_coords
+            if sparse_decode:
+                feats = sub_dict["decoded_features"]
+            else:
+                feats = gather_canvas_at(
+                    spatial_features, coords, (ny, nx), mask=dec_valid)
+            # compact the grouped GT sets with ONE contiguous-row gather
+            # ((k*3)-float rows); grouping itself stays a sorted scatter
+            gt_points, gt_mask = jax.vmap(
+                lambda v, r: scatter_ops.group_points_padded(v, r, num_gt)
+            )(points[..., :3], res)  # (B, M, num_gt, 3), (B, M, num_gt)
+            gt_points = jnp.take_along_axis(
+                gt_points.reshape(b, m, num_gt * 3), dec_idx_c[..., None],
+                axis=1).reshape(b, m_dec, num_gt, 3)
+            gt_mask = jnp.take_along_axis(gt_mask, dec_idx_c[..., None], axis=1)
+            gt_mask = gt_mask & dec_valid[..., None]
+            gt_counts = jnp.take_along_axis(
+                res.pillar_count, dec_idx_c, axis=1) * dec_valid
+            out_m = m_dec
+            loss_w = dec_valid.astype(jnp.float32)
+        else:
+            coords = batch_dict["pillar_coords"]
+            feats = gather_canvas_at(
+                spatial_features, coords, (ny, nx),
+                mask=batch_dict["pillar_mask"])
+            gt_points, gt_mask = jax.vmap(
+                lambda v, r: scatter_ops.group_points_padded(v, r, num_gt)
+            )(points[..., :3], res)
+            gt_counts = res.pillar_count
+            out_m = m
+            loss_w = mae_mask * pillar_mask.astype(jnp.float32)
 
         # per-pillar point-set prediction
         pred = nn.Dense(num_prd * 3, dtype=jnp.float32, name="decoder_pred")(
-            all_feats.astype(jnp.float32)
-        ).reshape(b, m, num_prd, 3)
-
-        # GT point sets: first NUM_GT_POINTS points of each pillar
-        # (reference sst_ops group_inner_inds wrap-repeats; here padded
-        # with a mask consumed by the Chamfer loss — same point set, one
-        # contiguous slice-gather per pillar instead of M*K row gathers)
-        points = batch_dict["points"]
-        res = batch_dict["pillarize_result"]
-        gt_points, gt_mask = jax.vmap(
-            lambda v, r: scatter_ops.group_points_padded(v, r, num_gt)
-        )(points[..., :3], res)  # (B, M, num_gt, 3), (B, M, num_gt)
+            feats.astype(jnp.float32)
+        ).reshape(b, out_m, num_prd, 3)
 
         centers = jnp.stack(
             [
-                (batch_dict["pillar_coords"][..., 1].astype(jnp.float32) + 0.5)
+                (coords[..., 1].astype(jnp.float32) + 0.5)
                 * self.voxel_size[0] + self.point_cloud_range[0],
-                (batch_dict["pillar_coords"][..., 0].astype(jnp.float32) + 0.5)
+                (coords[..., 0].astype(jnp.float32) + 0.5)
                 * self.voxel_size[1] + self.point_cloud_range[1],
-                jnp.full((b, m), 0.5 * self.voxel_size[2] + self.point_cloud_range[2],
+                jnp.full((b, out_m),
+                         0.5 * self.voxel_size[2] + self.point_cloud_range[2],
                          jnp.float32),
             ],
             axis=-1,
@@ -703,10 +777,8 @@ class SPTBackboneMAE(nn.Module):
         batch_dict["mae_pred_points"] = pred
         batch_dict["mae_gt_points"] = norm_gt
         batch_dict["mae_gt_mask"] = gt_mask
-        batch_dict["mae_gt_counts"] = res.pillar_count
-        # loss weight: masked AND real pillars (reference weights by
-        # voxel_mae_mask, spt_backbone_mae.py:88)
-        batch_dict["mae_loss_mask"] = mae_mask * pillar_mask.astype(jnp.float32)
+        batch_dict["mae_gt_counts"] = gt_counts
+        batch_dict["mae_loss_mask"] = loss_w
         return batch_dict
 
     @property

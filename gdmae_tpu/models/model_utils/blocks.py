@@ -39,7 +39,13 @@ class MaskedBatchNorm(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, use_running_average: Optional[bool] = None):
+    def __call__(self, x, mask=None, use_running_average: Optional[bool] = None,
+                 count: Optional[float] = None):
+        """``count``: optional explicit element count for the statistics
+        divisor (per channel).  Use when ``x`` is a compact row list whose
+        omitted rows are exact zeros of a larger conceptual array (e.g. a
+        token list standing in for a dense canvas): sums over ``x`` equal
+        sums over the full array, only the divisor differs."""
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
@@ -54,7 +60,18 @@ class MaskedBatchNorm(nn.Module):
         else:
             xf = x.astype(jnp.float32)
             red = tuple(range(x.ndim - 1))
-            if mask is None:
+            if mask is None and count is not None:
+                cnt = jnp.asarray(count, jnp.float32)
+                s1 = jnp.sum(xf, axis=red)
+                s2 = jnp.sum(jnp.square(xf), axis=red)
+                if self.axis_name is not None:
+                    cnt = jax.lax.psum(cnt, self.axis_name)
+                    s1 = jax.lax.psum(s1, self.axis_name)
+                    s2 = jax.lax.psum(s2, self.axis_name)
+                cnt = jnp.maximum(cnt, 1.0)
+                mean = s1 / cnt
+                var = jnp.maximum(s2 / cnt - jnp.square(mean), 0.0)
+            elif mask is None:
                 mean = jnp.mean(xf, axis=red)
                 var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
                 if self.axis_name is not None:
@@ -77,7 +94,7 @@ class MaskedBatchNorm(nn.Module):
             if not self.is_initializing():
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 # torch uses the unbiased variance for the running estimate
-                if mask is None:
+                if mask is None and count is None:
                     n = 1.0
                     for a in red:
                         n = n * x.shape[a]
