@@ -640,8 +640,14 @@ class SPTBackboneMAE(nn.Module):
         pillar_mask = batch_dict["pillar_mask"]  # (B, M)
         b, m = pillar_mask.shape
 
-        # per-sample random masking, ratio as in reference (:96-100)
-        rng = self.make_rng("mae_mask")
+        # per-sample random masking, ratio as in reference (:96-100).
+        # Eval-mode apply must work without an rng stream (reference GDMAE
+        # eval is an empty post-processing pass-through, gd_mae.py:24-25),
+        # so fall back to a fixed key when not training.
+        if train and mask_ratio > 0.0:
+            rng = self.make_rng("mae_mask")
+        else:
+            rng = jax.random.PRNGKey(0)
         keys = jax.random.split(rng, b)
         mae_mask = jax.vmap(
             lambda k, v: scatter_ops.random_masking(k, v, mask_ratio)

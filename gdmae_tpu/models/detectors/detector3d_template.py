@@ -227,7 +227,25 @@ class Detector3DTemplate(nn.Module):
             raise NotImplementedError("multi-class NMS comes with CenterHead-IoU")
 
         scores = jnp.max(cls_preds, axis=-1)
-        labels = jnp.argmax(cls_preds, axis=-1) + 1
+        if batch_dict.get("has_class_labels", False):
+            labels = batch_dict["roi_labels"].astype(jnp.int32)
+        else:
+            labels = jnp.argmax(cls_preds, axis=-1) + 1
+
+        if not nms_cfg.get("NMS", True):
+            # Reference NMS:False branch (detector3d_template.py:275-295):
+            # pass every prediction through unsuppressed — scores are the max
+            # sigmoid class score, labels come from roi_labels for two-stage
+            # graphs (graph_rcnn_ce.yaml:161, gd_mae_ts).  Padded rois are
+            # masked out via roi_valid (the reference's ragged lists only
+            # ever carry real boxes).
+            valid = batch_dict.get(
+                "roi_valid", jnp.ones(scores.shape, bool)) & (labels != 0)
+            batch_dict["final_boxes"] = box_preds * valid[..., None]
+            batch_dict["final_scores"] = scores * valid
+            batch_dict["final_labels"] = labels * valid
+            batch_dict["final_valid"] = valid
+            return batch_dict
 
         def per_sample(boxes_s, scores_s, labels_s):
             valid = scores_s > score_thresh

@@ -130,6 +130,34 @@ def _synth_batch(rng, meta, cfg, b=1, n=2048):
         "point_mask": jnp.asarray(mask),
         "gt_boxes": jnp.asarray(gt),
     }
+    vfe_name = cfg.MODEL.get("VFE", EasyDict({})).get("NAME", "")
+    if vfe_name in ("PillarVFE", "MeanVFE"):
+        # hard-VFE graphs consume host-voxelized (B, V, P, C) tensors
+        # (reference VoxelGeneratorV2 path) — run the numpy hard voxelizer
+        # the real loader would run (datasets/processor/data_processor.py).
+        from gdmae_tpu.datasets.processor.data_processor import (
+            numpy_hard_voxelize)
+        max_pts, max_vox = 8, meta.max_pillars
+        vox_b, crd_b, cnt_b = [], [], []
+        for bi in range(b):
+            v, c_, n_ = numpy_hard_voxelize(
+                np.asarray(pts[bi]), meta.voxel_size, meta.point_cloud_range,
+                max_pts, max_vox)
+            vox_b.append(v), crd_b.append(c_), cnt_b.append(n_)
+        vcap = max(len(v) for v in vox_b)
+        voxels = np.zeros((b, vcap, max_pts, pts.shape[-1]), np.float32)
+        coords = np.zeros((b, vcap, 3), np.int32)
+        counts = np.zeros((b, vcap), np.int32)
+        vmask = np.zeros((b, vcap), bool)
+        for bi, (v, c_, n_) in enumerate(zip(vox_b, crd_b, cnt_b)):
+            voxels[bi, :len(v)] = v
+            coords[bi, :len(v)] = c_
+            counts[bi, :len(v)] = n_
+            vmask[bi, :len(v)] = True
+        batch["voxels"] = jnp.asarray(voxels)
+        batch["voxel_coords"] = jnp.asarray(coords)
+        batch["voxel_num_points"] = jnp.asarray(counts)
+        batch["voxel_mask"] = jnp.asarray(vmask)
     if cfg.MODEL.get("IMG_BACKBONE", None) is not None:
         h, w = 64, 96
         batch["image"] = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 3)),
