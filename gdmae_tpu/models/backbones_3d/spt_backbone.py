@@ -735,18 +735,20 @@ class SPTBackboneMAE(nn.Module):
             else:
                 feats = gather_canvas_at(
                     spatial_features, coords, (ny, nx), mask=dec_valid)
-            # compact the grouped GT sets with ONE contiguous-row gather
-            # ((k*3)-float rows); grouping itself stays a sorted scatter
-            gt_points, gt_mask = jax.vmap(
-                lambda v, r: scatter_ops.group_points_padded(v, r, num_gt)
-            )(points[..., :3], res)  # (B, M, num_gt, 3), (B, M, num_gt)
-            gt_points = jnp.take_along_axis(
-                gt_points.reshape(b, m, num_gt * 3), dec_idx_c[..., None],
-                axis=1).reshape(b, m_dec, num_gt, 3)
-            gt_mask = jnp.take_along_axis(gt_mask, dec_idx_c[..., None], axis=1)
-            gt_mask = gt_mask & dec_valid[..., None]
+            # group GT point sets ONLY at the decode pillars: points are
+            # pillar-sorted (DynVFE reorder), so each set is one contiguous
+            # (num_gt*3)-float dynamic slice of the flat point stream —
+            # ~100x less HBM movement than the full-M sorted scatter
+            # (see scatter_ops.group_points_runs)
+            starts_dec = jnp.take_along_axis(
+                res.pillar_start, dec_idx_c, axis=1)  # (B, m_dec)
             gt_counts = jnp.take_along_axis(
                 res.pillar_count, dec_idx_c, axis=1) * dec_valid
+            gt_points, gt_mask = jax.vmap(
+                lambda v, s, cnt: scatter_ops.group_points_runs(
+                    v, s, cnt, num_gt)
+            )(points[..., :3], starts_dec, gt_counts)
+            gt_mask = gt_mask & dec_valid[..., None]
             out_m = m_dec
             loss_w = dec_valid.astype(jnp.float32)
         else:

@@ -61,7 +61,9 @@ class AnchorHeadMulti(AnchorHeadSingle):
                 y = nn.Conv(int(cfg.get("NUM_MIDDLE_FILTER", x.shape[-1])),
                             (3, 3), padding="SAME", use_bias=False,
                             dtype=self.dtype, name=f"head{hi}_mid{li}")(y)
-                y = MaskedBatchNorm(dtype=self.dtype, name=f"head{hi}_mid_bn{li}")(
+                # reference anchor_head_multi.py:35,56: torch-default BN2d
+                y = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype,
+                                    name=f"head{hi}_mid_bn{li}")(
                     y, use_running_average=not train)
                 y = nn.relu(y)
             cls_list.append(nn.Conv(

@@ -44,7 +44,7 @@ class SeparateHead(nn.Module):
                             name=f"{name}_conv{k}")(y)
                 # reference SeparateHead uses torch-default BN eps=1e-5
                 # (center_head.py:24), unlike the 1e-3 of the rest
-                y = MaskedBatchNorm(eps=1e-5, dtype=self.dtype,
+                y = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype,
                                     name=f"{name}_bn{k}")(
                     y, use_running_average=not train)
                 y = nn.relu(y)
@@ -88,7 +88,8 @@ class CenterHead(nn.Module):
             use_bias=bool(cfg.get("USE_BIAS_BEFORE_NORM", False)),
             dtype=self.dtype, name="shared_conv")
         self.shared_bn = MaskedBatchNorm(
-            eps=1e-5, dtype=self.dtype, name="shared_bn")  # ref :78 default
+            eps=1e-5, momentum=0.1, dtype=self.dtype,
+            name="shared_bn")  # ref :78 default
 
         heads = []
         for idx, names in enumerate(self.class_names_each_head):

@@ -104,7 +104,10 @@ class PointHeadVote(nn.Module):
         for i, c in enumerate(cfg.VOTE_CONFIG.MLPS):
             x = nn.Dense(int(c), use_bias=False, dtype=self.dtype,
                          name=f"vote_fc{i}")(x)
-            x = MaskedBatchNorm(dtype=self.dtype, name=f"vote_bn{i}")(
+            # all point_head_vote fc stacks use torch-default BatchNorm1d
+            # (reference point_head_template.make_fc_layers:42)
+            x = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype,
+                                name=f"vote_bn{i}")(
                 x, mask=seed_valid, use_running_average=not train)
             x = nn.relu(x)
         offsets = nn.Dense(3, dtype=jnp.float32, name="vote_out")(x)
@@ -121,7 +124,8 @@ class PointHeadVote(nn.Module):
         for i, c in enumerate(cfg.SHARED_FC):
             y = nn.Dense(int(c), use_bias=False, dtype=self.dtype,
                          name=f"shared_fc{i}")(y)
-            y = MaskedBatchNorm(dtype=self.dtype, name=f"shared_bn{i}")(
+            y = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype,
+                                name=f"shared_bn{i}")(
                 y, mask=seed_valid, use_running_average=not train)
             y = nn.relu(y)
 
@@ -130,7 +134,8 @@ class PointHeadVote(nn.Module):
             for i, c in enumerate(fcs):
                 h = nn.Dense(int(c), use_bias=False, dtype=self.dtype,
                              name=f"{tag}_fc{i}")(h)
-                h = MaskedBatchNorm(dtype=self.dtype, name=f"{tag}_bn{i}")(
+                h = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype,
+                                    name=f"{tag}_bn{i}")(
                     h, mask=seed_valid, use_running_average=not train)
                 h = nn.relu(h)
             return nn.Dense(out_ch, dtype=jnp.float32, name=f"{tag}_out")(h)

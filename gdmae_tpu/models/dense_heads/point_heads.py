@@ -29,7 +29,10 @@ class _FCStack(nn.Module):
     def __call__(self, x, mask=None, train=True):
         for i, c in enumerate(self.channels):
             x = nn.Dense(int(c), use_bias=False, dtype=self.dtype, name=f"fc{i}")(x)
-            x = MaskedBatchNorm(dtype=self.dtype, name=f"bn{i}")(
+            # reference point_head_template.make_fc_layers:42 uses
+            # torch-default BatchNorm1d (eps=1e-5, momentum=0.1)
+            x = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype,
+                                name=f"bn{i}")(
                 x, mask=mask, use_running_average=not train)
             x = nn.relu(x)
         return nn.Dense(self.out_channels, dtype=jnp.float32, name="out")(x)

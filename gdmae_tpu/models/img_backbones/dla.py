@@ -39,7 +39,8 @@ class ConvBN(nn.Module):
                     kernel_dilation=(self.dilation, self.dilation),
                     padding=((pd, pd), (pd, pd)), use_bias=False,
                     dtype=self.dtype)(x)
-        x = MaskedBatchNorm(dtype=self.dtype)(x, use_running_average=not train)
+        x = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype)(
+            x, use_running_average=not train)
         return nn.relu(x) if self.relu else x
 
 
@@ -98,7 +99,8 @@ class Tree(nn.Module):
         if self.in_channels != self.out_channels:
             proj = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                            dtype=self.dtype, name="project")(bottom)
-            proj = MaskedBatchNorm(dtype=self.dtype, name="project_bn")(
+            proj = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype,
+                                  name="project_bn")(
                 proj, use_running_average=not train)
             residual = proj
         else:
@@ -179,7 +181,7 @@ class DeformConvBlock(nn.Module):
                           (self.out_channels,), jnp.float32)
         y = modulated_deform_conv2d(
             x.astype(jnp.float32), offset, mask, weight, bias)
-        y = MaskedBatchNorm(dtype=self.dtype, name="bn")(
+        y = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype, name="bn")(
             y.astype(self.dtype), use_running_average=not train)
         return nn.relu(y)
 

@@ -161,11 +161,19 @@ class ConvBNReLU(nn.Module):
 
 class LinearBNReLU(nn.Module):
     """FC(bias=False) + masked BN + ReLU over token lists (reference
-    network_utils.make_fc_layers, pcdet/models/model_utils/network_utils.py)."""
+    network_utils.make_fc_layers, pcdet/models/model_utils/network_utils.py).
+
+    ``bn_eps``/``bn_momentum`` default to the (1e-3, 0.01) most reference
+    modules pass as ``norm_fn``; call sites mirroring a reference
+    ``make_fc_layers`` WITHOUT norm_fn must pass torch's BatchNorm1d
+    defaults (1e-5, 0.1) — e.g. DynVFE's aggregation MLP
+    (reference dyn_vfe.py:40 vs network_utils.py:13)."""
 
     features: int
     use_norm: bool = True
     use_relu: bool = True
+    bn_eps: float = BN_EPS
+    bn_momentum: float = BN_MOM
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -173,7 +181,9 @@ class LinearBNReLU(nn.Module):
         y = nn.Dense(self.features, use_bias=not self.use_norm, dtype=self.dtype,
                      kernel_init=kaiming_conv_init())(x)
         if self.use_norm:
-            y = MaskedBatchNorm(dtype=self.dtype)(y, mask=mask, use_running_average=not train)
+            y = MaskedBatchNorm(
+                eps=self.bn_eps, momentum=self.bn_momentum, dtype=self.dtype
+            )(y, mask=mask, use_running_average=not train)
         if self.use_relu:
             y = nn.relu(y)
         if mask is not None:

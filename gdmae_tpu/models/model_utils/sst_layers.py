@@ -249,7 +249,11 @@ class BucketEncoderLayer(nn.Module):
 
     def _act(self, x):
         if self.activation == "gelu":
-            return nn.gelu(x)
+            # exact (erf) form: torch F.gelu's default, which the reference's
+            # _get_activation_fn uses (sst_basic_block.py:117-121); flax
+            # defaults to the tanh approximation, whose ~1e-3 activation
+            # delta compounds to ~2e-2 gradient error through the backbone
+            return nn.gelu(x, approximate=False)
         if self.activation == "relu":
             return nn.relu(x)
         raise NotImplementedError(self.activation)

@@ -60,7 +60,7 @@ class AttnGNNLayer(nn.Module):
                                    axis=-1)  # (G, K, k, 2C)
             edge = nn.Dense(mlp, use_bias=False, dtype=self.dtype,
                             name=f"edge_{li}")(edge)
-            edge = MaskedBatchNorm(eps=1e-5, dtype=self.dtype, name=f"edge_bn_{li}")(
+            edge = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype, name=f"edge_bn_{li}")(
                 edge, mask=valid[:, :, None] & jnp.ones_like(edge[..., 0], bool),
                 use_running_average=not train)
             edge = nn.relu(edge)
@@ -72,7 +72,7 @@ class AttnGNNLayer(nn.Module):
         # channel calibration gate
         calib = nn.Dense(int(cfg.CALIB_DIM), use_bias=False, dtype=self.dtype,
                          name="calib_fc1")(x)
-        calib = MaskedBatchNorm(eps=1e-5, dtype=self.dtype, name="calib_bn")(
+        calib = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype, name="calib_bn")(
             calib, mask=valid, use_running_average=not train)
         calib = nn.relu(calib)
         calib = nn.Dense(x.shape[-1], dtype=self.dtype, name="calib_fc2")(calib)
@@ -81,7 +81,7 @@ class AttnGNNLayer(nn.Module):
         # expansion + max-pool over points
         for ei, ch in enumerate([int(m) for m in cfg.EXP_MLPS]):
             x = nn.Dense(ch, use_bias=False, dtype=self.dtype, name=f"exp_{ei}")(x)
-            x = MaskedBatchNorm(eps=1e-5, dtype=self.dtype, name=f"exp_bn_{ei}")(
+            x = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype, name=f"exp_bn_{ei}")(
                 x, mask=valid, use_running_average=not train)
             x = nn.relu(x)
         x = jnp.max(jnp.where(valid[..., None], x, -1e9), axis=1)  # (G, ch)
@@ -90,17 +90,17 @@ class AttnGNNLayer(nn.Module):
         if cfg.get("USE_REDUCTION", False):
             x = nn.Dense(int(cfg.OUT_DIM), use_bias=False, dtype=self.dtype,
                          name="reduction")(x)
-            x = MaskedBatchNorm(eps=1e-5, dtype=self.dtype, name="reduction_bn")(
+            x = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype, name="reduction_bn")(
                 x, use_running_average=not train)
             x = nn.relu(x)
         if cfg.get("USE_SHORT_CUT", False):
             # reference ShortcutLayer (dropout 0 at inference; post-norm FFN)
             y = x
-            y = MaskedBatchNorm(eps=1e-5, dtype=self.dtype, name="sc_bn1")(
+            y = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype, name="sc_bn1")(
                 y + y, use_running_average=not train)
             h = nn.Dense(int(cfg.OUT_DIM), dtype=self.dtype, name="sc_fc1")(y)
             h = nn.Dense(int(cfg.OUT_DIM), dtype=self.dtype, name="sc_fc2")(nn.relu(h))
-            x = MaskedBatchNorm(eps=1e-5, dtype=self.dtype, name="sc_bn2")(
+            x = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype, name="sc_bn2")(
                 y + h, use_running_average=not train)
         return x
 
@@ -163,7 +163,7 @@ class GraphRCNNHead(RoIHeadTemplate):
             for li, ch in enumerate([int(c) for c in img_cfg.MLPS]):
                 img = nn.Conv(ch, (1, 1), use_bias=False, dtype=self.dtype,
                               name=f"img_conv{li}")(img)
-                img = MaskedBatchNorm(eps=1e-5, dtype=self.dtype, name=f"img_bn{li}")(
+                img = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype, name=f"img_bn{li}")(
                     img, use_running_average=not train)
                 img = nn.relu(img)
             batch_dict = dict(batch_dict)
@@ -190,7 +190,7 @@ class GraphRCNNHead(RoIHeadTemplate):
 
         shared = nn.Dense(256, use_bias=False, dtype=self.dtype, name="shared_fc")(
             pooled_features)
-        shared = MaskedBatchNorm(eps=1e-5, dtype=self.dtype, name="shared_bn")(
+        shared = MaskedBatchNorm(eps=1e-5, momentum=0.1, dtype=self.dtype, name="shared_bn")(
             shared, use_running_average=not train)
         shared = nn.relu(shared)
 

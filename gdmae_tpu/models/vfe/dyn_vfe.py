@@ -183,9 +183,12 @@ class DynVFE(nn.Module):
             agg = cfg.get("AGGREGATION_MLPS", None)
             if agg is not None:
                 for ai, c in enumerate(agg):
-                    x = LinearBNReLU(c, dtype=self.dtype, name=f"agg_{ai}")(
-                        x, mask=res.pillar_mask, train=train
-                    )
+                    # reference builds this WITHOUT norm_fn (dyn_vfe.py:40)
+                    # -> torch-default BatchNorm1d(eps=1e-5, momentum=0.1)
+                    x = LinearBNReLU(
+                        c, bn_eps=1e-5, bn_momentum=0.1, dtype=self.dtype,
+                        name=f"agg_{ai}",
+                    )(x, mask=res.pillar_mask, train=train)
 
         x = x * res.pillar_mask[..., None].astype(x.dtype)
 

@@ -152,7 +152,9 @@ def _layer_block(x, pos, kb, bias, params, h):
     hmid = jax.lax.dot_general(
         src, w(w1), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(cdt) + w(b1[0])
-    hmid = jax.nn.gelu(hmid, approximate=True)
+    # exact (erf) gelu: matches BucketEncoderLayer / torch F.gelu default
+    # (erf lowers fine in Mosaic; the tanh form was ~1e-3 off)
+    hmid = jax.nn.gelu(hmid, approximate=False)
     ffn = jax.lax.dot_general(
         hmid, w(w2), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(cdt) + w(b2[0])

@@ -13,10 +13,12 @@ capacity spills into a trash slot (index == capacity) that callers discard.
 from __future__ import annotations
 
 import functools
+from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _run_bounds(segment_ids, num_segments):
@@ -74,12 +76,43 @@ def segment_mean(values, segment_ids, num_segments, eps=1e-9,
     return sums / jnp.clip(counts[(...,) + (None,) * (values.ndim - 1)], eps, None)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def segment_max(values, segment_ids, num_segments, indices_are_sorted=False):
     """Max per segment; empty segments get 0 (torch_scatter.scatter_max pads 0
-    for empty outputs in the reference's usage on ReLU'd features)."""
+    for empty outputs in the reference's usage on ReLU'd features).
+
+    Custom VJP: the cotangent of each segment max is routed to the FIRST
+    element attaining it, matching torch_scatter.scatter_max's argmax-indexed
+    backward (reference dyn_vfe.py:107-113).  jax.ops.segment_max's native
+    VJP instead SPLITS the cotangent across all tied elements — and ReLU'd
+    features tie at exactly 0.0 constantly, which measurably diverges the
+    VFE gradients from the reference (tests/test_train_trajectory.py)."""
     out = jax.ops.segment_max(values, segment_ids, num_segments=num_segments,
                               indices_are_sorted=indices_are_sorted)
     return jnp.where(jnp.isneginf(out), 0.0, out)
+
+
+def _segment_max_fwd(values, segment_ids, num_segments, indices_are_sorted):
+    out = segment_max(values, segment_ids, num_segments, indices_are_sorted)
+    return out, (values, segment_ids, out)
+
+
+def _segment_max_bwd(num_segments, indices_are_sorted, res, g):
+    values, segment_ids, out = res
+    n = values.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    idx = idx.reshape((n,) + (1,) * (values.ndim - 1))
+    is_max = values == out[segment_ids]
+    cand = jnp.where(is_max, idx, n)
+    first = jax.ops.segment_min(
+        jnp.broadcast_to(cand, values.shape), segment_ids,
+        num_segments=num_segments, indices_are_sorted=indices_are_sorted)
+    winner = idx == first[segment_ids]
+    gv = jnp.where(winner, g[segment_ids], 0).astype(values.dtype)
+    return gv, np.zeros(segment_ids.shape, dtype=jax.dtypes.float0)
+
+
+segment_max.defvjp(_segment_max_fwd, _segment_max_bwd)
 
 
 def segment_min(values, segment_ids, num_segments):
@@ -314,6 +347,41 @@ def group_points_padded(values, res: PillarizeResult, k: int):
     # covers (rank < min(count, k)), everything else stays zero — the
     # multiply would re-stream the whole (M, k, C) tensor for an identity
     return blocks, mask
+
+
+def group_points_runs(values, starts, counts, k: int):
+    """First ``min(count, k)`` pillar-sorted points of SELECTED pillars.
+
+    Same semantics as :func:`group_points_padded` restricted to a subset of
+    pillars, but as ``len(starts)`` CONTIGUOUS ``k*C``-float dynamic slices
+    of the flat sorted point stream instead of an N-point 12-byte-row
+    scatter into the full (M, k, C) table.  On TPU the full-table sorted
+    scatter measured ~35 ms/step at MAE-bench scale (sub-tile rows serialize
+    per update); slicing only the ~13% decode pillars moves ~100x less and
+    in 64x wider pieces.
+
+    Args:
+        values: (N, C) per-point values IN PILLAR-SORTED ORDER.
+        starts: (S,) int32 run starts (``PillarizeResult.pillar_start`` rows
+            of the selected pillars).
+        counts: (S,) int32 point counts of the selected pillars.
+        k: points per pillar (static).
+    Returns:
+        (S, k, C) grouped values (zeros past count), (S, k) bool mask.
+    """
+    n, c = values.shape
+    width = k * c
+    flat = jnp.concatenate(
+        [values.reshape(n * c),
+         jnp.zeros((width,), values.dtype)])  # runs at the tail stay in-bounds
+    rows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(flat, (s * c,), (width,))
+    )(jnp.clip(starts, 0, n))
+    blocks = rows.reshape(starts.shape[0], k, c)
+    mask = (jnp.arange(k, dtype=jnp.int32)[None, :]
+            < jnp.minimum(counts, k)[:, None])
+    # slices past a short run leak the NEXT pillar's points: mask them out
+    return blocks * mask[..., None].astype(blocks.dtype), mask
 
 
 def random_masking(key, valid_mask, mask_ratio):

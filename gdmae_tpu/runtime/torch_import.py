@@ -258,6 +258,128 @@ def flax_to_torch_name(path: str, mae: bool = False):
         return (f"backbone_2d.conv_layer.{int(m.group(1))}.1."
                 f"{_BN_LEAF[m.group(2)]}"), ""
 
+    # ---- BaseBEVBackbone (multi-scale conv/deconv FPN) ----
+    # ours (models/backbones_2d/sst_bev_backbone.py:68) <-> reference
+    # base_bev_backbone.py:28-70: blocks.{i} = Sequential(ZeroPad2d, Conv2d,
+    # BN, ReLU, (Conv2d, BN, ReLU)*n) so conv j sits at 1+3j and its BN at
+    # 2+3j; deblocks.{i} = Sequential(ConvTranspose2d(kernel=stride), BN,
+    # ReLU).  Only UPSAMPLE_STRIDE >= 1 is importable (the <1 downsample
+    # branch has no shipped config and would need a plain "conv" layout).
+    m = re.match(r"backbone_2d/block(\d+)_conv(\d+)/kernel$", path)
+    if m:
+        i, j = int(m.group(1)), int(m.group(2))
+        return f"backbone_2d.blocks.{i}.{1 + 3 * j}.weight", "conv"
+    m = re.match(r"backbone_2d/block(\d+)_bn(\d+)/(scale|bias|mean|var)$",
+                 path)
+    if m:
+        i, j = int(m.group(1)), int(m.group(2))
+        return (f"backbone_2d.blocks.{i}.{2 + 3 * j}."
+                f"{_BN_LEAF[m.group(3)]}"), ""
+    m = re.match(r"backbone_2d/deblock_(\d+)/kernel$", path)
+    if m:
+        return f"backbone_2d.deblocks.{int(m.group(1))}.0.weight", "deconv"
+    m = re.match(r"backbone_2d/deblock_bn_(\d+)/(scale|bias|mean|var)$", path)
+    if m:
+        return (f"backbone_2d.deblocks.{int(m.group(1))}.1."
+                f"{_BN_LEAF[m.group(2)]}"), ""
+
+    # ---- PointNet2MSG / PointNet2SAMSG (SA pyramid [+ FP decoder]) ----
+    # ours (models/backbones_3d/pointnet2_backbone.py) <-> reference
+    # pointnet2_backbone.py:7-189 + pointnet2_batch/pointnet2_modules.py:
+    # SA_modules.{k}.mlps.{g} are Conv2d-ks1 (+BN2d) stacks,
+    # aggregation_mlp is Conv1d (+BN1d), FP_modules.{i}.mlp is Conv2d-ks1.
+    m = re.match(r"backbone_3d/sa_(\d+)/mlp_(\d+)/fc(\d+)/kernel$", path)
+    if m:
+        k, g, i = (int(v) for v in m.groups())
+        return f"backbone_3d.SA_modules.{k}.mlps.{g}.{3 * i}.weight", "conv1d"
+    m = re.match(r"backbone_3d/sa_(\d+)/mlp_(\d+)/bn(\d+)/"
+                 r"(scale|bias|mean|var)$", path)
+    if m:
+        k, g, i = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        return (f"backbone_3d.SA_modules.{k}.mlps.{g}.{3 * i + 1}."
+                f"{_BN_LEAF[m.group(4)]}"), ""
+    m = re.match(r"backbone_3d/sa_(\d+)/agg/fc(\d+)/kernel$", path)
+    if m:
+        k, i = int(m.group(1)), int(m.group(2))
+        return (f"backbone_3d.SA_modules.{k}.aggregation_mlp.{3 * i}.weight",
+                "conv1d")
+    m = re.match(r"backbone_3d/sa_(\d+)/agg/bn(\d+)/(scale|bias|mean|var)$",
+                 path)
+    if m:
+        k, i = int(m.group(1)), int(m.group(2))
+        return (f"backbone_3d.SA_modules.{k}.aggregation_mlp.{3 * i + 1}."
+                f"{_BN_LEAF[m.group(3)]}"), ""
+    m = re.match(r"backbone_3d/fp_(\d+)/SharedMLP_0/fc(\d+)/kernel$", path)
+    if m:
+        i, j = int(m.group(1)), int(m.group(2))
+        return f"backbone_3d.FP_modules.{i}.mlp.{3 * j}.weight", "conv1d"
+    m = re.match(r"backbone_3d/fp_(\d+)/SharedMLP_0/bn(\d+)/"
+                 r"(scale|bias|mean|var)$", path)
+    if m:
+        i, j = int(m.group(1)), int(m.group(2))
+        return (f"backbone_3d.FP_modules.{i}.mlp.{3 * j + 1}."
+                f"{_BN_LEAF[m.group(3)]}"), ""
+
+    # ---- PointHeadVote (VoteNet-style head: 3DSSD / Graph-Po) ----
+    # ours (models/dense_heads/point_head_vote.py) <-> reference
+    # point_head_vote.py:19-56 via point_head_template.make_fc_layers:36-50:
+    # vote_layers is a Conv1d(+BN1d) stack closed by a Conv1d WITH bias,
+    # shared/cls/box trees are nn.Linear stacks, vote_SA_module.mlps are
+    # Conv2d-ks1.  The final-layer Sequential index (3 * n_fc) is unknown
+    # from one flax path: candidates are resolved against the checkpoint on
+    # import and against the sibling count on export.
+    m = re.match(r"point_head/(.*)$", path)
+    if m:
+        rest = m.group(1)
+        base = "point_head"
+        mm = re.match(r"vote_fc(\d+)/kernel$", rest)
+        if mm:
+            return (f"{base}.vote_layers.{3 * int(mm.group(1))}.weight",
+                    "conv1d")
+        mm = re.match(r"vote_bn(\d+)/(scale|bias|mean|var)$", rest)
+        if mm:
+            return (f"{base}.vote_layers.{3 * int(mm.group(1)) + 1}."
+                    f"{_BN_LEAF[mm.group(2)]}"), ""
+        mm = re.match(r"vote_out/(kernel|bias)$", rest)
+        if mm:
+            leaf = "weight" if mm.group(1) == "kernel" else "bias"
+            cands = [f"{base}.vote_layers.{j}.{leaf}" for j in (3, 6, 9, 0)]
+            return cands, ("conv1d" if leaf == "weight" else "")
+        mm = re.match(r"vote_sa_mlp_(\d+)/fc(\d+)/kernel$", rest)
+        if mm:
+            g, i = int(mm.group(1)), int(mm.group(2))
+            return (f"{base}.vote_SA_module.mlps.{g}.{3 * i}.weight",
+                    "conv1d")
+        mm = re.match(r"vote_sa_mlp_(\d+)/bn(\d+)/(scale|bias|mean|var)$",
+                      rest)
+        if mm:
+            g, i = int(mm.group(1)), int(mm.group(2))
+            return (f"{base}.vote_SA_module.mlps.{g}.{3 * i + 1}."
+                    f"{_BN_LEAF[mm.group(3)]}"), ""
+        mm = re.match(r"shared_fc(\d+)/kernel$", rest)
+        if mm:
+            return f"{base}.shared_conv.{3 * int(mm.group(1))}.weight", "t"
+        mm = re.match(r"shared_bn(\d+)/(scale|bias|mean|var)$", rest)
+        if mm:
+            return (f"{base}.shared_conv.{3 * int(mm.group(1)) + 1}."
+                    f"{_BN_LEAF[mm.group(2)]}"), ""
+        mm = re.match(r"(cls|box)_fc(\d+)/kernel$", rest)
+        if mm:
+            tag, i = mm.group(1), int(mm.group(2))
+            return f"{base}.{tag}_conv.{3 * i}.weight", "t"
+        mm = re.match(r"(cls|box)_bn(\d+)/(scale|bias|mean|var)$", rest)
+        if mm:
+            tag, i = mm.group(1), int(mm.group(2))
+            return (f"{base}.{tag}_conv.{3 * i + 1}."
+                    f"{_BN_LEAF[mm.group(3)]}"), ""
+        mm = re.match(r"(cls|box)_out/(kernel|bias)$", rest)
+        if mm:
+            tag = mm.group(1)
+            leaf = "weight" if mm.group(2) == "kernel" else "bias"
+            cands = [f"{base}.{tag}_conv.{j}.{leaf}" for j in (3, 6, 9, 0)]
+            return cands, ("t" if leaf == "weight" else "")
+        return None
+
     # ---- anchor heads (AnchorHeadSingle): 1x1 Conv2d with bias ----
     m = re.match(r"dense_head/conv_(cls|box|dir_cls)/(kernel|bias)$", path)
     if m:
@@ -610,11 +732,17 @@ def export_torch_state(params, batch_stats=None,
             # SeparateHead final conv: its Sequential index is the number
             # of preceding conv sub-blocks (count the _conv{k} siblings)
             mm = re.match(r"(dense_head/head_\d+/[a-z0-9_]+)_out/", path)
-            n_conv = len({p for p in flat
-                          if mm and re.match(
-                              re.escape(mm.group(1)) + r"_conv\d+/kernel$",
-                              p)})
-            j = n_conv if mm else 1
+            # PointHeadVote final layers: flat (layer, BN, ReLU) stacks, so
+            # the closing Conv1d/Linear sits at 3 * n_fc (count _fc{k})
+            mp = re.match(r"(point_head/[a-z0-9_]+?)_out/", path)
+            if mm:
+                j = len({p for p in flat
+                         if re.match(re.escape(mm.group(1)) + r"_conv\d+/kernel$", p)})
+            elif mp:
+                j = 3 * len({p for p in flat
+                             if re.match(re.escape(mp.group(1)) + r"_fc\d+/kernel$", p)})
+            else:
+                j = 1
             name = re.sub(r"\.(\d+)\.(weight|bias)$",
                           lambda s: f".{j}.{s.group(2)}", name[0])
         stride = (deconv_strides or {}).get(path)

@@ -494,3 +494,56 @@ def test_attn_gnn_mapping_parity():
         xj, fj, vj, train=False)
     np.testing.assert_allclose(np.asarray(got, np.float32), out_ref,
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("rel", [
+    "waymo_models/graph_rcnn_ce.yaml",   # VoxelRes8x + BaseBEV + CenterHead
+    "kitti_models/graph_rcnn_po.yaml",   # PointNet2SAMSG + PointHeadVote
+])
+def test_two_stage_roundtrip_full_coverage(rel):
+    """Every leaf of the two-stage GraphRCNN family maps to a reference
+    state-dict name and export -> import recovers the tree bitwise
+    (reference loader totality: detector3d_template.py:361-411).  Closes
+    the import path for published graph_rcnn_* / gd_mae_ts weights."""
+    from pathlib import Path
+    from gdmae_tpu.config import cfg_from_yaml_file
+    from gdmae_tpu.models.detectors.detector3d_template import build_network
+    from tests.test_config_zoo import (_shrink_capacities, _small_meta as
+                                       _zoo_meta, _synth_batch)
+
+    repo = Path(__file__).resolve().parent.parent
+    cfg = cfg_from_yaml_file(str(repo / "tools/cfgs" / rel))
+    _shrink_capacities(cfg.MODEL)
+    meta = _zoo_meta(cfg)
+    model = build_network(cfg.MODEL, num_class=len(meta.class_names),
+                          dataset=meta)
+    rng = np.random.RandomState(7)
+    batch = _synth_batch(rng, meta, cfg)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "mae_mask": jax.random.PRNGKey(1),
+            "proposal_sampler": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, batch, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    # deconv strides for the BaseBEVBackbone 1x1-relayout deblocks
+    strides = {}
+    bb2d = cfg.MODEL.get("BACKBONE_2D", {})
+    for i, s in enumerate(bb2d.get("UPSAMPLE_STRIDES", [])):
+        strides[f"backbone_2d/deblock_{i}/kernel"] = int(s)
+    sd = torch_import.export_torch_state(params, batch_stats,
+                                         deconv_strides=strides)
+
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, params)
+    zeroed_bs = jax.tree_util.tree_map(jnp.zeros_like, batch_stats)
+    new_p, new_bs, report = torch_import.import_torch_state(
+        sd, zeroed, zeroed_bs)
+    assert report["unmapped"] == [], report["unmapped"][:10]
+    assert report["skipped"] == [], report["skipped"][:10]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), params, new_p)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), batch_stats, new_bs)

@@ -1,0 +1,383 @@
+"""Training-dynamics parity vs the torch reference.
+
+Forward parity (test_torch_import.py) proves the graphs agree at one point;
+these tests prove the TRAINING DYNAMICS agree — everything forward parity
+cannot see: gradients through every layer, train-mode BatchNorm batch
+statistics + running-stat updates, and the fastai OneCycle/true-wd optimizer
+chain (reference hot loop tools/train_utils/train_utils.py:34-61, optimizer
+construction tools/train_utils/optimization/__init__.py:11-36).
+
+Structure (why not "K Adam steps must track at 1e-3"): Adam's step-0 update
+is lr*sign(g) elementwise, so any tiny-gradient element whose sign differs
+by float noise between frameworks moves +-2*lr apart — Adam trajectories
+fundamentally cannot track at tight tolerance across frameworks even when
+gradients agree at 1e-6 (measured: grad-norm 15.555570 vs 15.555583, yet
+step-1 loss diverged 1%).  Instead we pin each link of the chain:
+
+ 1. per-tensor GRADIENT parity at step 0 (covers bwd through every layer);
+ 2. K-step SGD loss trajectory + final BN running stats (update ~ grad, so
+    framework noise stays linear — covers train-mode BN batch statistics,
+    clip_grad_norm, and multi-step compounding);
+ 3. adam_onecycle OPTIMIZER-CHAIN parity on identical synthetic gradients
+    vs the real fastai OptimWrapper+OneCycle (covers true-wd, bias
+    correction, the injected momentum/lr schedules).
+
+No dataset files exist in-env, so a fixed synthetic scene stands in for the
+loader (the reference's QA oracle is end-metric parity, SURVEY §4 — these
+are the strongest in-env proxies).
+"""
+from functools import partial
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
+
+from tests import ref_loader
+from gdmae_tpu.runtime import torch_import
+
+K_STEPS = 6
+SGD_LR = 0.01
+CLIP = 10.0
+
+
+def _small_meta():
+    from gdmae_tpu.models.detectors.detector3d_template import DatasetMeta
+    return DatasetMeta(
+        class_names=["Car", "Pedestrian", "Cyclist"],
+        point_cloud_range=[0, -10.24, -3, 20.48, 10.24, 1],
+        voxel_size=[0.32, 0.32, 4],
+        grid_size=[64, 64],
+        num_point_features=4,
+        max_points=2048,
+        max_pillars=2048,
+    )
+
+
+def _synth_scene(seed, n):
+    """Points + gt boxes with a NON-DEGENERATE anchor assignment.
+
+    The reference assigner force-matches every gt to the anchors whose
+    overlap EXACTLY equals the gt's best overlap (float equality,
+    axis_aligned_target_assigner.py:155-157).  A gt much larger than the
+    anchor fully contains many anchors at identical IoU, so the force set
+    is a huge exact-tie set that any last-bit IoU difference between
+    frameworks re-shuffles.  Real KITTI gts match their class anchors in
+    size; mirror that: per-class dims near the anchor dims (x 0.95-1.15),
+    small rotations, generic (non-grid-symmetric) positions — the best
+    anchor per gt is then unique and both assigners agree exactly.
+    """
+    rng = np.random.RandomState(seed)
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = rng.uniform(0.5, 20.0, n)
+    pts[:, 1] = rng.uniform(-10.0, 10.0, n)
+    pts[:, 2] = rng.uniform(-2.5, 0.5, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+    anchor_dims = {1: (3.9, 1.6, 1.56), 2: (0.8, 0.6, 1.73), 3: (1.76, 0.6, 1.73)}
+    classes = [1, 1, 2, 3, 3]
+    gt = np.zeros((1, 5, 8), np.float32)
+    for gi, cls in enumerate(classes):
+        dx, dy, dz = (d * rng.uniform(0.95, 1.15) for d in anchor_dims[cls])
+        gt[0, gi] = [rng.uniform(3, 18), rng.uniform(-8, 8), -1.0,
+                     dx, dy, dz, rng.uniform(-0.25, 0.25), cls]
+    return pts, gt
+
+
+@pytest.fixture(scope="module")
+def det_pair():
+    """The gd_mae.yaml detection graph built twice with IDENTICAL weights:
+    reference torch modules (train mode) and our flax network."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    from pathlib import Path
+    from gdmae_tpu.config import cfg_from_yaml_file
+    from gdmae_tpu.models.detectors.detector3d_template import build_network
+    from gdmae_tpu.runtime import train as train_lib
+
+    repo = Path(__file__).resolve().parent.parent
+    cfg = cfg_from_yaml_file(str(repo / "tools/cfgs/kitti_models/gd_mae.yaml"))
+    meta = _small_meta()
+    grid = np.array([64, 64, 1])
+    pcr = np.array(meta.point_cloud_range, np.float32)
+    vsz = [0.32, 0.32, 4.0]
+
+    dyn_vfe = ref_loader.load_ref("pcdet.models.backbones_3d.vfe.dyn_vfe")
+    spt = ref_loader.load_ref("pcdet.models.backbones_3d.spt_backbone")
+    bev = ref_loader.load_ref("pcdet.models.backbones_2d.sst_bev_backbone")
+    heads = ref_loader.load_ref("pcdet.models.dense_heads.anchor_head_single")
+
+    torch.manual_seed(0)
+
+    class RefDet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.vfe = dyn_vfe.DynVFE(
+                model_cfg=cfg.MODEL.VFE, num_point_features=4,
+                voxel_size=vsz, point_cloud_range=pcr, grid_size=grid)
+            self.backbone_3d = spt.SPTBackbone(
+                model_cfg=cfg.MODEL.BACKBONE_3D, input_channels=128,
+                grid_size=np.array([64, 64]), voxel_size=vsz,
+                point_cloud_range=pcr)
+            self.backbone_2d = bev.SSTBEVBackbone(
+                model_cfg=cfg.MODEL.BACKBONE_2D)
+            self.dense_head = heads.AnchorHeadSingle(
+                model_cfg=cfg.MODEL.DENSE_HEAD, input_channels=128,
+                num_class=3, class_names=list(cfg.CLASS_NAMES),
+                grid_size=grid, point_cloud_range=pcr,
+                predict_boxes_when_training=False)
+
+        def forward(self, bd):
+            for m in (self.vfe, self.backbone_3d, self.backbone_2d,
+                      self.dense_head):
+                bd = m(bd)
+            loss, tb = self.dense_head.get_loss()
+            return loss
+
+    ref_model = RefDet().train()
+    sd0 = {k: v.detach().clone().numpy()
+           for k, v in ref_model.state_dict().items()}
+
+    pts, gt = _synth_scene(4, meta.max_points)
+
+    cfg.MODEL.BACKBONE_3D.pop("TPU_WINDOW_CAPS", None)
+    model = build_network(cfg.MODEL, num_class=3, dataset=meta)
+    batch = {"points": jnp.asarray(pts[None]),
+             "point_mask": jnp.ones((1, meta.max_points), bool),
+             "gt_boxes": jnp.asarray(gt)}
+    with jax.default_matmul_precision("highest"):
+        params, batch_stats = train_lib.init_model(model, batch, seed=0)
+        params, batch_stats, report = torch_import.import_torch_state(
+            sd0, params, batch_stats)
+    assert report["unmapped"] == [], report["unmapped"][:10]
+    assert report["skipped"] == [], report["skipped"][:10]
+
+    # deconv strides from the FUSE_LAYER config — the export's 1x1-relayout
+    # of deblock kernels needs them (see test_torch_import roundtrip)
+    strides = {}
+    for i, src in enumerate(cfg.MODEL.BACKBONE_3D.FEATURES_SOURCE):
+        s = int(cfg.MODEL.BACKBONE_3D.FUSE_LAYER[src].UPSAMPLE_STRIDE)
+        strides[f"backbone_3d/fuse/deblock_{i}/kernel"] = s
+
+    return dict(cfg=cfg, meta=meta, ref_model=ref_model, sd0=sd0,
+                model=model, params=params, batch_stats=batch_stats,
+                batch=batch, pts=pts, gt=gt, deconv_strides=strides)
+
+
+def _ref_batch(torch, pts, gt):
+    n = pts.shape[0]
+    t_pts = torch.as_tensor(
+        np.concatenate([np.zeros((n, 1), np.float32), pts], axis=1))
+    return {"points": t_pts, "batch_size": 1,
+            "gt_boxes": torch.as_tensor(gt)}
+
+
+def _load_sd(ref_model, sd0):
+    import torch
+    ref_model.load_state_dict({k: torch.as_tensor(v) for k, v in sd0.items()})
+
+
+def test_step0_gradient_parity(det_pair):
+    """d(loss)/d(theta) per tensor matches the reference backward.
+
+    Runs under ``jax.default_matmul_precision("highest")``: the DEFAULT
+    precision lowers fp32 matmuls to bf16 passes (TPU MXU semantics, and
+    XLA:CPU mirrors it on avx512-bf16 hosts) which injects ~4e-3 relative
+    noise per matmul — fine for training, but it would drown the parity
+    tolerance this test enforces.
+
+    Tolerances are module-aware because the SST encoder's backward is
+    ill-conditioned in fp32: the torch reference's OWN f32 gradients differ
+    from its f64 gradients by median 7.4e-3 / max 4.3e-2 in `sst_blocks`
+    (measured via tools/experiments/dbg_traj64.py — train-mode BN batch
+    stats + deep masked-softmax chains amplify round-off), so per-tensor
+    2e-3 there would flag pure noise.  Downstream modules (dense head,
+    BEV backbone, fuse deblocks) are well-conditioned and keep the strict
+    gate; the encoder+VFE group is gated on its MEDIAN (coherent semantic
+    errors — e.g. the tanh-vs-erf gelu mismatch this test caught — lift
+    the median to >=1.6e-2, while conditioning noise sits at ~4e-3).
+    """
+    import torch
+    p = det_pair
+    _load_sd(p["ref_model"], p["sd0"])
+    p["ref_model"].zero_grad()
+    loss = p["ref_model"](_ref_batch(torch, p["pts"], p["gt"]))
+    loss.backward()
+    ref_grads = {k: prm.grad.detach().numpy()
+                 for k, prm in p["ref_model"].named_parameters()
+                 if prm.grad is not None}
+
+    def loss_fn(params):
+        out, _ = p["model"].apply(
+            {"params": params, "batch_stats": p["batch_stats"]},
+            p["batch"], train=True,
+            rngs={"mae_mask": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"])
+        return out["loss"]
+
+    with jax.default_matmul_precision("highest"):
+        jloss, grads = jax.value_and_grad(loss_fn)(p["params"])
+    np.testing.assert_allclose(float(jloss), float(loss.item()), rtol=1e-4)
+
+    # export the gradient pytree through the same name-mapped layout
+    # transforms as the weights (every transform is a permutation/reshape,
+    # so it maps gradients exactly)
+    got = torch_import.export_torch_state(
+        grads, deconv_strides=p["deconv_strides"])
+    checked, bad, noisy_rels = 0, [], []
+    for name, ref_g in ref_grads.items():
+        assert name in got, f"gradient for {name} not exported"
+        g = np.asarray(got[name], np.float64)
+        r = np.asarray(ref_g, np.float64)
+        rn = np.linalg.norm(r)
+        if rn < 1e-10:  # dead tensor on both sides
+            assert np.linalg.norm(g) < 1e-8, name
+            continue
+        rel = np.linalg.norm(g - r) / rn
+        checked += 1
+        ill_conditioned = name.startswith(("backbone_3d.sst_blocks", "vfe"))
+        if ill_conditioned:
+            noisy_rels.append(rel)
+        if rel > (6e-2 if ill_conditioned else 2e-3):
+            bad.append((name, rel, rn))
+    assert checked > 100, checked
+    assert not bad, bad[:20]
+    noisy_rels.sort()
+    assert noisy_rels and noisy_rels[len(noisy_rels) // 2] < 8e-3, (
+        "median encoder-gradient error above the fp32 conditioning floor: "
+        f"{noisy_rels[len(noisy_rels) // 2]:.2e}")
+
+
+def test_k_step_sgd_trajectory_and_bn_stats(det_pair):
+    """K fwd+bwd+clip+SGD steps: loss curves track at 1e-3 and the BN
+    running statistics agree after K train-mode updates (covers batch-stat
+    computation, the torch (1-m)*run + m*batch update with torch-default vs
+    (1e-3, 0.01) module-specific hyperparams, and unbiased-variance use)."""
+    import torch
+    from torch.nn.utils import clip_grad_norm_
+    import optax
+    from gdmae_tpu.runtime import train as train_lib
+
+    p = det_pair
+    _load_sd(p["ref_model"], p["sd0"])
+    opt = torch.optim.SGD(p["ref_model"].parameters(), lr=SGD_LR)
+    ref_losses = []
+    for _ in range(K_STEPS):
+        opt.zero_grad()
+        loss = p["ref_model"](_ref_batch(torch, p["pts"], p["gt"]))
+        loss.backward()
+        clip_grad_norm_(p["ref_model"].parameters(), CLIP)
+        opt.step()
+        ref_losses.append(float(loss.item()))
+
+    tx = optax.chain(optax.clip_by_global_norm(CLIP), optax.sgd(SGD_LR))
+    with jax.default_matmul_precision("highest"):
+        state = train_lib.TrainState.create(p["params"], p["batch_stats"], tx)
+        step = train_lib.make_train_step(p["model"], donate=False)
+        key = jax.random.PRNGKey(0)
+        got_losses = []
+        for _ in range(K_STEPS):
+            state, metrics = step(state, p["batch"], key)
+            got_losses.append(float(metrics["loss"]))
+
+    # per-step tolerance schedule: step-0 is the (bit-exact) forward, and
+    # the fp32 backward-conditioning noise of the SST encoder (~4e-3 per
+    # gradient, see test_step0_gradient_parity) compounds ~x3-4 per SGD
+    # step — measured trajectories split 0 / 2e-5 / 3e-4 / 6e-4 / 1e-3 /
+    # 1e-2 (the late jump is a discrete ReLU/max tie flip).  Semantic bugs
+    # break the EARLY steps: the tanh-vs-erf gelu mismatch shifted step 0.
+    rtols = [1e-5, 1e-4, 1e-3, 2e-3, 4e-3, 2.5e-2]
+    for i, (g, r) in enumerate(zip(got_losses, ref_losses)):
+        np.testing.assert_allclose(
+            g, r, rtol=rtols[i], atol=1e-5,
+            err_msg=f"step {i}: ref={ref_losses} got={got_losses}")
+    assert abs(ref_losses[-1] - ref_losses[0]) > 1e-4  # it really trained
+
+    # BN running stats after K train-mode steps
+    ref_sd = {k: v.detach().numpy()
+              for k, v in p["ref_model"].state_dict().items()}
+    got_sd = torch_import.export_torch_state(
+        state.params, state.batch_stats,
+        deconv_strides=p["deconv_strides"])
+    n_stats = 0
+    for name, rv in ref_sd.items():
+        if "running_mean" not in name and "running_var" not in name:
+            continue
+        assert name in got_sd, name
+        # atol 1e-3: the stats are EMAs of batch moments whose inputs carry
+        # the compounding late-step parameter noise measured above (small
+        # near-zero entries otherwise flag ~4e-4 absolute wiggle)
+        np.testing.assert_allclose(
+            np.asarray(got_sd[name]), rv, rtol=2e-3, atol=1e-3,
+            err_msg=name)
+        n_stats += 1
+    assert n_stats >= 30, n_stats
+
+
+def test_adam_onecycle_chain_parity():
+    """The full adam_onecycle update chain — Adam with scheduled beta1 and
+    bias correction, true (decoupled, lr-scaled) weight decay, OneCycle
+    lr/momentum — matches the reference fastai OptimWrapper bitwise-close
+    on identical synthetic gradients (reference fastai_optim.py:135-153,
+    learning_schedules_fastai.py:60-78)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    from gdmae_tpu.runtime import optimization
+
+    fastai_optim = ref_loader.load_ref(
+        "tools_ref.train_utils.optimization.fastai_optim")
+    fastai_sched = ref_loader.load_ref(
+        "tools_ref.train_utils.optimization.learning_schedules_fastai")
+
+    lr_max, moms, div, pct, wd = 3e-3, (0.95, 0.85), 10.0, 0.4, 0.01
+    iters, epochs = 8, 3
+    total = iters * epochs
+
+    torch.manual_seed(3)
+    lin1 = nn.Linear(17, 9)
+    lin2 = nn.Linear(9, 5)
+    net = nn.Sequential(lin1, lin2)
+    tensors = list(net.parameters())
+    rng = np.random.RandomState(7)
+    base_grads = [rng.randn(*t.shape).astype(np.float32) for t in tensors]
+
+    opt = fastai_optim.OptimWrapper.create(
+        partial(torch.optim.Adam, betas=(0.9, 0.99)), lr_max, [net],
+        wd=wd, true_wd=True, bn_wd=True)
+    sched = fastai_sched.OneCycle(opt, total, lr_max, list(moms), div, pct)
+    for it in range(total):
+        sched.step(it)
+        opt.zero_grad()
+        scale = 1.0 + 0.25 * np.sin(0.7 * it)  # step-varying gradients
+        loss = sum((t * torch.as_tensor(g * scale)).sum()
+                   for t, g in zip(tensors, base_grads))
+        loss.backward()
+        opt.step()
+    ref_final = [t.detach().numpy() for t in tensors]
+
+    class OC(dict):
+        __getattr__ = dict.__getitem__
+    oc = OC(OPTIMIZER="adam_onecycle", LR=lr_max, WEIGHT_DECAY=wd,
+            MOMS=list(moms), DIV_FACTOR=div, PCT_START=pct,
+            GRAD_NORM_CLIP=0.0)
+    tx, _ = optimization.build_optimizer(oc, iters, epochs)
+    # restart from the SAME init as the torch side
+    torch.manual_seed(3)
+    lin1b = nn.Linear(17, 9)
+    lin2b = nn.Linear(9, 5)
+    params = {f"p{i}": jnp.asarray(t.detach().numpy())
+              for i, t in enumerate(nn.Sequential(lin1b, lin2b).parameters())}
+    opt_state = tx.init(params)
+    import optax
+    for it in range(total):
+        scale = 1.0 + 0.25 * np.sin(0.7 * it)
+        grads = {f"p{i}": jnp.asarray(g * np.float32(scale))
+                 for i, g in enumerate(base_grads)}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    for i, ref in enumerate(ref_final):
+        np.testing.assert_allclose(
+            np.asarray(params[f"p{i}"]), ref, rtol=1e-5, atol=1e-7,
+            err_msg=f"param {i}")

@@ -92,6 +92,21 @@ def main():
             drop_specs=drop_specs)
         print("joint budgets:", cfg.MODEL.BACKBONE_3D.TPU_JOINT_BUDGETS,
               file=sys.stderr)
+    # generic model-config overrides for A/B runs, e.g.
+    # GDMAE_SET="BACKBONE_3D.TPU_SPARSE_DECODE=true BACKBONE_3D.TPU_REMAT=true"
+    for kv in _os.environ.get("GDMAE_SET", "").split():
+        import ast
+        path, _, raw = kv.partition("=")
+        node = cfg.MODEL
+        keys = path.split(".")
+        for k in keys[:-1]:
+            node = node[k]
+        try:
+            val = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            val = {"true": True, "false": False}.get(raw.lower(), raw)
+        node[keys[-1]] = val
+        print(f"override MODEL.{path} = {val!r}", file=sys.stderr)
     meta = DatasetMeta(
         class_names=cfg.CLASS_NAMES,
         point_cloud_range=cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
