@@ -91,6 +91,9 @@ def main():
               file=sys.stderr, flush=True)
     if os.environ.get("GDMAE_BENCH_FUSED", "0") != "0":
         cfg.MODEL.BACKBONE_3D.TPU_FUSED_LAYER = True
+    hy = os.environ.get("GDMAE_BENCH_HYBRID")
+    if hy is not None:  # A/B: decode-site conv_out vs dense fuse
+        cfg.MODEL.BACKBONE_3D.TPU_HYBRID_DECODE = hy != "0"
     # A/B: per-stage dense-vs-gather convs, e.g. GDMAE_BENCH_SPCONV=1,0,0
     spconv_env = os.environ.get("GDMAE_BENCH_SPCONV")
     if spconv_env:
@@ -107,6 +110,36 @@ def main():
             "points": jnp.asarray(pts),
             "point_mask": jnp.ones((batch_size, n), bool),
         }
+        # pillarization + MAE mask + GT grouping on HOST, as the training
+        # loader does (datasets.processor.host_pillarize; index-only data
+        # movement that cost ~45 ms/step on-device).  Opt out via
+        # GDMAE_BENCH_HOST_GT=0 / GDMAE_BENCH_HOST_PIL=0 for all-device A/Bs.
+        pmask = np.ones((batch_size, n), bool)
+        if os.environ.get("GDMAE_BENCH_HOST_PIL", "1") != "0":
+            from gdmae_tpu.datasets.processor.host_pillarize import (
+                pillarize_batch_np,
+            )
+            tabs, pts, pmask = pillarize_batch_np(
+                pts, pmask, meta.point_cloud_range, meta.voxel_size,
+                meta.grid_size, meta.max_pillars)
+            batch = {"points": jnp.asarray(pts),
+                     "point_mask": jnp.asarray(pmask)}
+            batch.update({k: jnp.asarray(v) for k, v in tabs.items()})
+        if os.environ.get("GDMAE_BENCH_HOST_GT", "1") != "0":
+            from gdmae_tpu.datasets.processor.host_pillarize import (
+                mae_host_targets,
+            )
+            from gdmae_tpu.models.backbones_3d.spt_backbone import mae_dec_cap
+            b3d = cfg.MODEL.BACKBONE_3D
+            host = mae_host_targets(
+                pts, pmask,
+                meta.point_cloud_range, meta.voxel_size,
+                meta.grid_size, meta.max_pillars,
+                float(b3d.MASK_CONFIG.RATIO),
+                int(b3d.MASK_CONFIG.NUM_GT_POINTS),
+                mae_dec_cap(b3d, meta.max_pillars),
+                np.random.default_rng(0))
+            batch.update({k: jnp.asarray(v) for k, v in host.items()})
         params, batch_stats = train_lib.init_model(model, batch, seed=0)
         tx, _ = optimization.build_optimizer(cfg.OPTIMIZATION, 100, 30)
         state = train_lib.TrainState.create(params, batch_stats, tx)

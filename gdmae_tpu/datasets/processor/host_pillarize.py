@@ -1,0 +1,182 @@
+"""Host (numpy) twins of the device pillarization + MAE target build.
+
+Index building is pure data movement with no gradient, so on TPU it
+belongs in the input pipeline, where it overlaps with device compute —
+the device-side MAE GT grouping (full-M sorted scatter + compact gather)
+measured ~35 ms of a ~265 ms pretrain step at batch 16 (PERFORMANCE.md),
+while the numpy equivalent here is <2 ms/sample of loader time.
+
+Exactness contract: :func:`pillarize_np` must order pillars and points
+IDENTICALLY to ``ops.scatter.dynamic_pillarize`` (ascending linear cell
+id, stable within a cell, capacity-clipped) — the device consumes the
+host mask/GT sets positionally.  ``tests/test_host_pillarize.py`` pins
+host==device on clustered random scans.
+
+Reference behavior mirrored: random masking ratio/count semantics from
+pcdet/utils/common_utils.py:49-63, GT set = first NUM_GT_POINTS points
+of each masked pillar (spt_backbone_mae.py:67 via sst_ops
+group_inner_inds).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def pillarize_np(points_xyz, point_mask, pc_range, voxel_size, grid_size,
+                 max_pillars):
+    """Numpy twin of ``ops.scatter.dynamic_pillarize`` (one sample).
+
+    Args:
+        points_xyz: (N, 3+) float array — only xyz used.
+        point_mask: (N,) bool.
+        pc_range / voxel_size / grid_size / max_pillars: as on device.
+    Returns:
+        dict with ``order`` (N,) int32 stable sort permutation,
+        ``point_pillar`` (N,) int32 slot per SORTED point (M = trash),
+        ``pillar_coords`` (M, 2|3), ``pillar_mask`` (M,), ``pillar_start``
+        (M,), ``pillar_count`` (M,), ``num_pillars`` int.
+    """
+    n = points_xyz.shape[0]
+    m = int(max_pillars)
+    nx, ny = int(grid_size[0]), int(grid_size[1])
+    nz = int(grid_size[2]) if len(grid_size) > 2 else 1
+    pc = np.asarray(pc_range, np.float32)
+    vs = np.asarray(voxel_size, np.float32)
+    p = points_xyz[:, :3].astype(np.float32)
+
+    # identical f32 arithmetic to the device (boundary cells must agree)
+    ix = np.floor((p[:, 0] - pc[0]) / vs[0]).astype(np.int32)
+    iy = np.floor((p[:, 1] - pc[1]) / vs[1]).astype(np.int32)
+    iz = np.floor((p[:, 2] - pc[2]) / vs[2]).astype(np.int32)
+    in_range = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+                & (iz >= 0) & (iz < nz) & np.asarray(point_mask, bool))
+    sentinel = nx * ny * nz
+    pid = np.where(in_range, (iz * ny + iy) * nx + ix, sentinel)
+
+    order = np.argsort(pid, kind="stable").astype(np.int32)
+    sorted_pid = pid[order]
+    valid_sorted = sorted_pid < sentinel
+    is_first = valid_sorted.copy()
+    is_first[1:] &= sorted_pid[1:] != sorted_pid[:-1]
+    rank_sorted = np.cumsum(is_first.astype(np.int32)) - 1
+    num_pillars = int(is_first.sum())
+    in_cap = valid_sorted & (rank_sorted < m)
+    point_pillar = np.where(in_cap, rank_sorted, m).astype(np.int32)
+
+    idx = np.arange(n, dtype=np.int32)
+    start_or_big = np.where(is_first & in_cap, idx, n)
+    starts = np.sort(start_or_big)[:m].astype(np.int32)
+    n_eff = int(in_cap.sum())
+    next_start = np.concatenate([starts[1:], np.full(1, n, np.int32)])
+    counts = (np.minimum(next_start, n_eff)
+              - np.minimum(starts, n_eff)).astype(np.int32)
+    pillar_mask = counts > 0
+    lin = np.where(pillar_mask, sorted_pid[np.clip(starts, 0, n - 1)], 0)
+    if nz > 1:
+        pillar_coords = np.stack(
+            [lin // (nx * ny), (lin // nx) % ny, lin % nx], axis=-1)
+    else:
+        pillar_coords = np.stack([lin // nx, lin % nx], axis=-1)
+    return {
+        "order": order,
+        "point_pillar": point_pillar,
+        "pillar_coords": pillar_coords.astype(np.int32),
+        "pillar_mask": pillar_mask,
+        "pillar_start": starts,
+        "pillar_count": counts,
+        "num_pillars": num_pillars,
+    }
+
+
+def pillarize_batch_np(points, point_mask, pc_range, voxel_size, grid_size,
+                       max_pillars):
+    """Batch pillarize + pre-sort for the device ``host_pillar_*`` path.
+
+    DynVFE consumes these arrays directly and skips both device sorts and
+    the point-reorder gather (~10 ms of a ~235 ms MAE step at batch 16).
+    Returns ``(batch_arrays, sorted_points, sorted_point_mask)`` where
+    ``batch_arrays`` holds ``host_pillar_coords/mask/start/count``,
+    ``host_point_pillar`` and ``host_num_pillars`` — all positionally
+    identical to ``ops.scatter.dynamic_pillarize`` on the SORTED points.
+    """
+    b, n = points.shape[0], points.shape[1]
+    m = int(max_pillars)
+    nz3d = len(grid_size) > 2 and int(grid_size[2]) > 1
+    out = {
+        "host_pillar_coords": np.zeros((b, m, 3 if nz3d else 2), np.int32),
+        "host_pillar_mask": np.zeros((b, m), bool),
+        "host_pillar_start": np.zeros((b, m), np.int32),
+        "host_pillar_count": np.zeros((b, m), np.int32),
+        "host_point_pillar": np.zeros((b, n), np.int32),
+        "host_num_pillars": np.zeros((b,), np.int32),
+    }
+    sorted_pts = np.empty_like(points)
+    sorted_mask = np.empty_like(np.asarray(point_mask, bool))
+    for s in range(b):
+        res = pillarize_np(points[s], point_mask[s], pc_range, voxel_size,
+                           grid_size, m)
+        out["host_pillar_coords"][s] = res["pillar_coords"]
+        out["host_pillar_mask"][s] = res["pillar_mask"]
+        out["host_pillar_start"][s] = res["pillar_start"]
+        out["host_pillar_count"][s] = res["pillar_count"]
+        out["host_point_pillar"][s] = res["point_pillar"]
+        out["host_num_pillars"][s] = res["num_pillars"]
+        sorted_pts[s] = points[s][res["order"]]
+        sorted_mask[s] = np.asarray(point_mask[s], bool)[res["order"]]
+    return out, sorted_pts, sorted_mask
+
+
+def mae_host_targets(points, point_mask, pc_range, voxel_size, grid_size,
+                     max_pillars, mask_ratio, num_gt, m_dec, rng):
+    """Draw the MAE mask and group the masked pillars' GT point sets on host.
+
+    Mirrors the device path exactly: the mask keeps
+    ``floor(n_valid*(1-ratio))`` pillars (reference
+    common_utils.random_masking), invalid slots are marked masked, and GT
+    sets are emitted for the first ``m_dec`` masked REAL pillars in
+    ascending slot order — the same order as the device's
+    ``nonzero((mask > 0) & pillar_mask)`` compaction.
+
+    Args:
+        points: (B, N, C) float (xyz first).
+        point_mask: (B, N) bool.
+        mask_ratio / num_gt: MODEL.BACKBONE_3D.MASK_CONFIG values.
+        m_dec: static decode capacity (TPU_MAE_DEC_CAP or its default).
+        rng: ``np.random.Generator`` or ``np.random.RandomState``.
+    Returns:
+        dict of batch arrays: ``host_mae_mask`` (B, M) float32 (1 =
+        masked), ``host_mae_gt_points`` (B, m_dec, num_gt, 3) float32,
+        ``host_mae_gt_mask`` (B, m_dec, num_gt) bool.
+    """
+    b, n = points.shape[0], points.shape[1]
+    m = int(max_pillars)
+    mask_out = np.ones((b, m), np.float32)
+    gt_out = np.zeros((b, m_dec, num_gt, 3), np.float32)
+    gt_mask_out = np.zeros((b, m_dec, num_gt), bool)
+    uniform = rng.random if hasattr(rng, "random") else rng.random_sample
+
+    for s in range(b):
+        res = pillarize_np(points[s], point_mask[s], pc_range, voxel_size,
+                           grid_size, m)
+        valid = res["pillar_mask"]
+        n_valid = int(valid.sum())
+        len_keep = int(n_valid * (1.0 - mask_ratio))
+        noise = np.where(valid, uniform(m).astype(np.float32), np.inf)
+        keep_slots = np.argsort(noise, kind="stable")[:len_keep]
+        keep = np.zeros(m, bool)
+        keep[keep_slots] = True
+        keep &= valid
+        mask_out[s, keep] = 0.0
+
+        dec_slots = np.nonzero(valid & ~keep)[0][:m_dec]
+        sorted_pts = points[s, res["order"], :3].astype(np.float32)
+        for j, slot in enumerate(dec_slots):
+            st = int(res["pillar_start"][slot])
+            cnt = min(int(res["pillar_count"][slot]), num_gt)
+            gt_out[s, j, :cnt] = sorted_pts[st:st + cnt]
+            gt_mask_out[s, j, :cnt] = True
+    return {
+        "host_mae_mask": mask_out,
+        "host_mae_gt_points": gt_out,
+        "host_mae_gt_mask": gt_mask_out,
+    }

@@ -111,6 +111,148 @@ class _TapConv(nn.Module):
             preferred_element_type=jnp.float32).astype(self.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _tap_gather_sorted(flat, idx, mask, slot_map, ny, nx):
+    """Canvas rows ``flat`` (B, ny*nx, C) gathered per 3x3 tap: ``idx``
+    (B, 9, P) clipped-to-range cell ids; ``mask`` (B, 9, P) kills
+    out-of-bounds/padding reads; ``slot_map`` (B, ny*nx) int32 cell ->
+    decode-slot (P for none).  Returns (B, 9, P, C).
+
+    Custom VJP — gather-only backward: the default ``take_along_axis``
+    transpose is a scatter-add of B*9*P update rows, and TPU scatters
+    serialize per update even with sorted/unique hints (measured +45..+90
+    ms/step on the MAE bench at ~886k rows).  But each canvas cell has at
+    most ONE reader per tap, and that reader's slot is just the decode
+    slot map SHIFTED by the tap offset — so the canvas cotangent is nine
+    shifted-map gathers from the small (B, P, C) cotangent, summed.  Same
+    argument as ``_decode_gather_p`` above, but the mirror index needs no
+    precomputation at all."""
+    out = jnp.take_along_axis(
+        flat, idx.reshape(idx.shape[0], -1)[..., None], axis=1)
+    out = out.reshape(idx.shape + (flat.shape[-1],))
+    return out * mask[..., None].astype(out.dtype)
+
+
+def _tgs_fwd(flat, idx, mask, slot_map, ny, nx):
+    return (_tap_gather_sorted(flat, idx, mask, slot_map, ny, nx),
+            (mask, slot_map))
+
+
+def _tgs_bwd(ny, nx, res, g):
+    mask, slot_map = res
+    b, t, p, c = g.shape
+    g = g * mask[..., None].astype(g.dtype)
+    # (B, ny+2, nx+2) slot map with a one-cell "no reader" border: tap
+    # (ty, tx)'s reader map is a static slice of it
+    pad = jnp.pad(slot_map.reshape(b, ny, nx), ((0, 0), (1, 1), (1, 1)),
+                  constant_values=p)
+    acc = jnp.zeros((b, ny * nx, c), jnp.float32)
+    for ti in range(t):
+        ty, tx = divmod(ti, 3)
+        # site at (y, x) reads tap (ty, tx) from (y+ty-1, x+tx-1): cell
+        # (cy, cx) is read by the site at (cy-(ty-1), cx-(tx-1))
+        reader = jax.lax.dynamic_slice(
+            pad, (0, 2 - ty, 2 - tx), (b, ny, nx)).reshape(b, ny * nx)
+        g_pad = jnp.concatenate(
+            [g[:, ti], jnp.zeros((b, 1, c), g.dtype)], axis=1)
+        acc = acc + jnp.take_along_axis(
+            g_pad, reader[..., None], axis=1).astype(jnp.float32)
+    return acc.astype(g.dtype), None, None, None
+
+
+_tap_gather_sorted.defvjp(_tgs_fwd, _tgs_bwd)
+
+
+class HybridDecodeFuse(nn.Module):
+    """DeconvFuse with the 3x3 ``conv_out`` evaluated at DECODE SITES only.
+
+    The middle ground between the dense :class:`spt_backbone.DeconvFuse`
+    and the all-sparse :class:`SparseDecodeFuse`: the deblock upsample
+    stays dense (1x1 matmuls + depth-to-space are cheap and their backward
+    is matmul-shaped), but the full-resolution 3x3 fuse conv — the
+    dominant cost of the dense fuse (~25 of its ~40 ms/step at MAE-bench
+    batch 16, 2.3 TFLOP over an 857k-cell canvas of which the MAE loss
+    reads ~2%) — becomes 9 row-wide tap gathers at the decode sites plus
+    one (9*C_in -> C_out) matmul.  Backward through the tap gathers is
+    XLA's scatter-add of ~P*9 384-wide rows into the canvas cotangent —
+    raster-sorted site order keeps it on the fast sorted-scatter path.
+
+    Param tree (deblock_i / deblock_bn_i / conv_out / conv_out_bn) is
+    IDENTICAL to DeconvFuse, so dense checkpoints load unchanged.  The one
+    semantic difference from the dense path: ``conv_out_bn`` batch
+    statistics are computed over the decode sites (masked) instead of
+    every canvas cell — same deliberate trade as SparseDecodeFuse (module
+    docstring above); the pretrained ENCODER weights, which are what
+    transfer to detection fine-tuning, see identical math.
+
+    Reference behavior covered: spt_backbone_mae.py:115-131 (dense fuse +
+    masked-voxel readback).
+    """
+
+    fuse_cfg: Any
+    sources: Sequence[str]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feature_maps: Dict[str, jnp.ndarray], dec_coords,
+                 dec_valid, train: bool = True):
+        """feature_maps[src]: dense (B, h, w, C) stage canvases;
+        dec_coords (B, P, 2) int32 [iy, ix] full-res cells (raster-sorted);
+        dec_valid (B, P).  Returns (B, P, C_out)."""
+        fuse_cfg = as_easy(self.fuse_cfg)
+        ups = []
+        total = 0
+        for i, src in enumerate(self.sources):
+            cfg = fuse_cfg[src]
+            stride = int(cfg.UPSAMPLE_STRIDE)
+            nf = int(cfg.NUM_UPSAMPLE_FILTER)
+            x = feature_maps[src]
+            b, h, w, _ = x.shape
+            x = nn.Conv(
+                stride * stride * nf, (1, 1), use_bias=False,
+                dtype=self.dtype, name=f"deblock_{i}",
+            )(x)
+            x = x.reshape(b, h, w, stride * stride, nf)
+            x = MaskedBatchNorm(dtype=self.dtype, name=f"deblock_bn_{i}")(
+                x, use_running_average=not train
+            )
+            x = nn.relu(x)
+            x = x.reshape(b, h, w, stride, stride, nf)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, h * stride, w * stride, nf)
+            ups.append(x)
+            total += nf
+        canvas = jnp.concatenate(ups, axis=-1)  # (B, NY, NX, total)
+        b, ny, nx, _ = canvas.shape
+        p = dec_coords.shape[1]
+
+        flat = canvas.reshape(b, ny * nx, total)
+        slot_map = window_ops.build_cell2tok(dec_coords, dec_valid, (ny, nx))
+        idx_taps, mask_taps = [], []
+        for ty in range(3):
+            for tx in range(3):
+                fy = dec_coords[..., 0] + ty - 1
+                fx = dec_coords[..., 1] + tx - 1
+                inb = ((fy >= 0) & (fy < ny) & (fx >= 0) & (fx < nx)
+                       & dec_valid)
+                # clip misses in-range; they read garbage that the mask
+                # zeroes, and the mirrored backward never routes them
+                idx_taps.append(jnp.clip(fy * nx + fx, 0, ny * nx - 1))
+                mask_taps.append(inb)
+        v = _tap_gather_sorted(
+            flat, jnp.stack(idx_taps, axis=1),
+            jnp.stack(mask_taps, axis=1), slot_map, ny, nx)
+        stack = v.transpose(0, 2, 1, 3).reshape(b, p, 9 * total)
+        y = _TapConv(
+            features=total // len(self.sources), kernel=3, cin=total,
+            dtype=self.dtype, name="conv_out",
+        )(stack)
+        y = MaskedBatchNorm(dtype=self.dtype, name="conv_out_bn")(
+            y, mask=dec_valid, use_running_average=not train)
+        y = nn.relu(y)
+        return y * dec_valid[..., None].astype(y.dtype)
+
+
 class SparseDecodeFuse(nn.Module):
     """Drop-in replacement for :class:`spt_backbone.DeconvFuse` + the
     decode-site canvas gather, evaluated at decode sites only.  Parameter

@@ -591,6 +591,24 @@ class SPTBackbone(nn.Module):
             batch_dict["spatial_features_stride"] = 1
             return batch_dict
 
+        # TPU_HYBRID_DECODE + decode_coords (MAE pretraining): dense deblock
+        # upsample, but the dominant full-resolution 3x3 conv_out runs at
+        # the decode sites only (sparse_decode.HybridDecodeFuse)
+        if bool(cfg.get("TPU_HYBRID_DECODE", False)) and \
+                "decode_coords" in batch_dict:
+            from .sparse_decode import HybridDecodeFuse
+            hy_cls = (nn.remat(HybridDecodeFuse, static_argnums=(4,))
+                      if bool(cfg.get("TPU_REMAT_FUSE", True))
+                      else HybridDecodeFuse)
+            batch_dict["decoded_features"] = hy_cls(
+                fuse_cfg=cfg.FUSE_LAYER,
+                sources=cfg.FEATURES_SOURCE,
+                dtype=self.dtype, name="fuse",
+            )(feature_maps, batch_dict["decode_coords"],
+              batch_dict["decode_valid"], train)
+            batch_dict["spatial_features_stride"] = 1
+            return batch_dict
+
         # the fuse works at full canvas resolution (its conv_out input alone
         # is (B, Ny, Nx, 384) — 1.2G at batch 32 bf16): always recompute it
         # in the backward pass; one extra fuse forward is a few ms
@@ -614,6 +632,16 @@ class SPTBackbone(nn.Module):
             for s in cfg.FEATURES_SOURCE
         )
         return total // len(cfg.FEATURES_SOURCE)
+
+
+def mae_dec_cap(model_cfg, max_pillars):
+    """Static decode-set capacity of SPTBackboneMAE (shared with loaders
+    building host MAE targets — see datasets.processor.host_pillarize)."""
+    cfg = as_easy(model_cfg)
+    ratio = float(cfg.MASK_CONFIG.RATIO)
+    return int(cfg.get(
+        "TPU_MAE_DEC_CAP",
+        -(-int(max_pillars * ratio + 1) // 8) * 8))
 
 
 class SPTBackboneMAE(nn.Module):
@@ -641,17 +669,21 @@ class SPTBackboneMAE(nn.Module):
         b, m = pillar_mask.shape
 
         # per-sample random masking, ratio as in reference (:96-100).
-        # Eval-mode apply must work without an rng stream (reference GDMAE
-        # eval is an empty post-processing pass-through, gd_mae.py:24-25),
-        # so fall back to a fixed key when not training.
-        if train and mask_ratio > 0.0:
-            rng = self.make_rng("mae_mask")
-        else:
-            rng = jax.random.PRNGKey(0)
-        keys = jax.random.split(rng, b)
-        mae_mask = jax.vmap(
-            lambda k, v: scatter_ops.random_masking(k, v, mask_ratio)
-        )(keys, pillar_mask)  # 1.0 = masked
+        # The loader may draw the mask on HOST (host_pillarize.mae_host_targets)
+        # so the GT grouping below can also be host-precomputed; otherwise
+        # draw it here.  Eval-mode apply must work without an rng stream
+        # (reference GDMAE eval is an empty post-processing pass-through,
+        # gd_mae.py:24-25), so fall back to a fixed key when not training.
+        mae_mask = batch_dict.get("host_mae_mask")
+        if mae_mask is None:
+            if train and mask_ratio > 0.0:
+                rng = self.make_rng("mae_mask")
+            else:
+                rng = jax.random.PRNGKey(0)
+            keys = jax.random.split(rng, b)
+            mae_mask = jax.vmap(
+                lambda k, v: scatter_ops.random_masking(k, v, mask_ratio)
+            )(keys, pillar_mask)  # 1.0 = masked
         batch_dict["pillar_mae_mask"] = mae_mask
 
         kept = pillar_mask & (mae_mask == 0.0)
@@ -696,6 +728,8 @@ class SPTBackboneMAE(nn.Module):
         compact_dec = bool(cfg.get("TPU_MAE_COMPACT_DEC", True))
         sparse_decode = bool(cfg.get("TPU_SPARSE_DECODE", False)) and \
             compact_dec
+        site_decode = sparse_decode or (
+            bool(cfg.get("TPU_HYBRID_DECODE", False)) and compact_dec)
         sub_dict = {
             "pillar_features": tokens_c,
             "pillar_coords": coords_c,
@@ -704,9 +738,7 @@ class SPTBackboneMAE(nn.Module):
         dec_idx = dec_valid = None
         if compact_dec:
             loss_sel = (mae_mask > 0) & pillar_mask  # (B, M) bool
-            m_dec = int(cfg.get(
-                "TPU_MAE_DEC_CAP",
-                -(-int(m * mask_ratio + 1) // 8) * 8))
+            m_dec = mae_dec_cap(cfg, m)
             dec_idx = jax.vmap(
                 lambda v: jnp.nonzero(v, size=m_dec, fill_value=m)[0]
             )(loss_sel)  # (B, m_dec), ascending => coords stay raster-sorted
@@ -714,7 +746,7 @@ class SPTBackboneMAE(nn.Module):
             dec_idx_c = jnp.minimum(dec_idx, m - 1)
             dec_coords = jnp.take_along_axis(
                 batch_dict["pillar_coords"], dec_idx_c[..., None], axis=1)
-            if sparse_decode:
+            if site_decode:
                 sub_dict["decode_coords"] = dec_coords
                 sub_dict["decode_valid"] = dec_valid
 
@@ -730,25 +762,38 @@ class SPTBackboneMAE(nn.Module):
         res = batch_dict["pillarize_result"]
         if compact_dec:
             coords = dec_coords
-            if sparse_decode:
+            if site_decode:
                 feats = sub_dict["decoded_features"]
             else:
                 feats = gather_canvas_at(
                     spatial_features, coords, (ny, nx), mask=dec_valid)
-            # group GT point sets ONLY at the decode pillars: points are
-            # pillar-sorted (DynVFE reorder), so each set is one contiguous
-            # (num_gt*3)-float dynamic slice of the flat point stream —
-            # ~100x less HBM movement than the full-M sorted scatter
-            # (see scatter_ops.group_points_runs)
-            starts_dec = jnp.take_along_axis(
-                res.pillar_start, dec_idx_c, axis=1)  # (B, m_dec)
+            host_gt = batch_dict.get("host_mae_gt_points")
+            if host_gt is not None:
+                # GT sets precomputed by the loader on HOST in the same
+                # (ascending-slot) decode order (host_pillarize.py); GT
+                # carries no gradient, so this removes the grouping's
+                # device data movement entirely
+                gt_points = host_gt
+                gt_mask = batch_dict["host_mae_gt_mask"] & \
+                    dec_valid[..., None]
+            else:
+                # device fallback: full-M sorted scatter, then compact the
+                # grouped sets with ONE contiguous-row gather ((k*3)-float
+                # rows).  Per-run dynamic slices at the decode subset
+                # measured 5x WORSE (455 vs 265 ms step): variable
+                # element-granularity slice offsets defeat the (8,128)
+                # tiling, while the sorted scatter lowers well
+                gt_points, gt_mask = jax.vmap(
+                    lambda v, r: scatter_ops.group_points_padded(v, r, num_gt)
+                )(points[..., :3], res)  # (B, M, num_gt, 3), (B, M, num_gt)
+                gt_points = jnp.take_along_axis(
+                    gt_points.reshape(b, m, num_gt * 3), dec_idx_c[..., None],
+                    axis=1).reshape(b, m_dec, num_gt, 3)
+                gt_mask = jnp.take_along_axis(
+                    gt_mask, dec_idx_c[..., None], axis=1)
+                gt_mask = gt_mask & dec_valid[..., None]
             gt_counts = jnp.take_along_axis(
                 res.pillar_count, dec_idx_c, axis=1) * dec_valid
-            gt_points, gt_mask = jax.vmap(
-                lambda v, s, cnt: scatter_ops.group_points_runs(
-                    v, s, cnt, num_gt)
-            )(points[..., :3], starts_dec, gt_counts)
-            gt_mask = gt_mask & dec_valid[..., None]
             out_m = m_dec
             loss_w = dec_valid.astype(jnp.float32)
         else:

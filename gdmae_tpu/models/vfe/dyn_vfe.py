@@ -48,20 +48,41 @@ class DynVFE(nn.Module):
         cfg = as_easy(self.model_cfg)
         is_3d = len(self.grid_size) > 2 and int(self.grid_size[2]) > 1
 
-        pillarize = jax.vmap(
-            lambda p, pm: scatter.dynamic_pillarize(
-                p, pm, self.point_cloud_range, self.voxel_size, self.grid_size, m
+        if "host_pillar_start" in batch_dict:
+            # pillarization precomputed by the loader on HOST with points
+            # already pillar-sorted (datasets.processor.host_pillarize.
+            # pillarize_batch_np — positionally identical by test): skip
+            # both device sorts and the point-reorder gather
+            identity = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+            res = scatter.PillarizeResult(
+                pillar_coords=batch_dict["host_pillar_coords"],
+                pillar_mask=batch_dict["host_pillar_mask"],
+                point_pillar=batch_dict["host_point_pillar"],
+                point_order=identity,
+                pillar_start=batch_dict["host_pillar_start"],
+                pillar_count=batch_dict["host_pillar_count"],
+                num_pillars=batch_dict["host_num_pillars"],
             )
-        )
-        res = pillarize(points[..., :3], point_mask)
+            point_pillar = res.point_pillar
+            point_mask_s = point_mask
+        else:
+            pillarize = jax.vmap(
+                lambda p, pm: scatter.dynamic_pillarize(
+                    p, pm, self.point_cloud_range, self.voxel_size,
+                    self.grid_size, m
+                )
+            )
+            res = pillarize(points[..., :3], point_mask)
 
-        # reorder points by pillar ONCE: every segment reduction then runs
-        # with sorted indices (scan-based sorted-segment path — no scatters).
-        # res.point_pillar is already in sorted order (see PillarizeResult).
-        order = res.point_order  # (B, N) permutation grouping by pillar
-        points = jnp.take_along_axis(points, order[..., None], axis=1)
-        point_pillar = res.point_pillar
-        point_mask_s = jnp.take_along_axis(point_mask, order, axis=1)
+            # reorder points by pillar ONCE: every segment reduction then
+            # runs with sorted indices (scan-based sorted-segment path — no
+            # scatters).  res.point_pillar is already in sorted order (see
+            # PillarizeResult).
+            order = res.point_order  # (B, N) permutation grouping by pillar
+            points = jnp.take_along_axis(points, order[..., None], axis=1)
+            point_pillar = res.point_pillar
+            point_mask_s = jnp.take_along_axis(point_mask, order, axis=1)
 
         # flattened segment ids across the batch: b * (M+1) + slot
         seg = (

@@ -349,41 +349,6 @@ def group_points_padded(values, res: PillarizeResult, k: int):
     return blocks, mask
 
 
-def group_points_runs(values, starts, counts, k: int):
-    """First ``min(count, k)`` pillar-sorted points of SELECTED pillars.
-
-    Same semantics as :func:`group_points_padded` restricted to a subset of
-    pillars, but as ``len(starts)`` CONTIGUOUS ``k*C``-float dynamic slices
-    of the flat sorted point stream instead of an N-point 12-byte-row
-    scatter into the full (M, k, C) table.  On TPU the full-table sorted
-    scatter measured ~35 ms/step at MAE-bench scale (sub-tile rows serialize
-    per update); slicing only the ~13% decode pillars moves ~100x less and
-    in 64x wider pieces.
-
-    Args:
-        values: (N, C) per-point values IN PILLAR-SORTED ORDER.
-        starts: (S,) int32 run starts (``PillarizeResult.pillar_start`` rows
-            of the selected pillars).
-        counts: (S,) int32 point counts of the selected pillars.
-        k: points per pillar (static).
-    Returns:
-        (S, k, C) grouped values (zeros past count), (S, k) bool mask.
-    """
-    n, c = values.shape
-    width = k * c
-    flat = jnp.concatenate(
-        [values.reshape(n * c),
-         jnp.zeros((width,), values.dtype)])  # runs at the tail stay in-bounds
-    rows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(flat, (s * c,), (width,))
-    )(jnp.clip(starts, 0, n))
-    blocks = rows.reshape(starts.shape[0], k, c)
-    mask = (jnp.arange(k, dtype=jnp.int32)[None, :]
-            < jnp.minimum(counts, k)[:, None])
-    # slices past a short run leak the NEXT pillar's points: mask them out
-    return blocks * mask[..., None].astype(blocks.dtype), mask
-
-
 def random_masking(key, valid_mask, mask_ratio):
     """Per-set random masking with an exact per-sample count.
 

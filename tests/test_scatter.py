@@ -210,27 +210,3 @@ def test_segment_max_grad_routes_ties_to_first():
                        [1., 1.],   # seg1: tie 0.0 at idx 3 and 4 -> idx 3
                        [0., 0.]], np.float32)
     np.testing.assert_array_equal(np.asarray(g), expect)
-
-
-def test_group_points_runs_matches_padded_subset():
-    """Run-slice grouping of a pillar subset == full padded grouping rows."""
-    rng = np.random.RandomState(11)
-    n, cap, k = 160, 64, 8
-    pts = np.zeros((n, 3), np.float32)
-    pts[:, 0] = rng.uniform(0, 69, n)
-    pts[:, 1] = rng.uniform(-39, 39, n)
-    pts[:, 2] = rng.uniform(-2.9, 0.9, n)
-    pc_range = np.array([0, -39.68, -3, 69.12, 39.68, 1], np.float32)
-    vsz = np.array([0.32, 0.32, 4], np.float32)
-    res = scatter.dynamic_pillarize(
-        jnp.asarray(pts), jnp.ones(n, bool), pc_range, vsz, (216, 248), cap)
-    vals_sorted = jnp.asarray(pts)[res.point_order]
-    full, full_mask = scatter.group_points_padded(vals_sorted, res, k)
-
-    sel = jnp.asarray([0, 3, 5, 7, 11, 13, cap - 1], jnp.int32)
-    got, got_mask = scatter.group_points_runs(
-        vals_sorted, res.pillar_start[sel], res.pillar_count[sel], k)
-    np.testing.assert_allclose(
-        np.asarray(got), np.asarray(full)[np.asarray(sel)], rtol=1e-6)
-    np.testing.assert_array_equal(
-        np.asarray(got_mask), np.asarray(full_mask)[np.asarray(sel)])

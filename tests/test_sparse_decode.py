@@ -152,3 +152,64 @@ def test_train_mode_runs_and_updates_stats(setup):
                 np.asarray(mut_d["batch_stats"][f"deblock_bn_{i}"][field]),
                 rtol=1e-5, atol=1e-6,
                 err_msg=f"deblock_bn_{i} running {field}")
+
+
+def _dense_canvases(stage_tok):
+    from gdmae_tpu.models.backbones_3d.spt_backbone import (
+        scatter_pillars_to_canvas)
+    return {
+        src: scatter_pillars_to_canvas(*stage_tok[src][:3],
+                                       stage_tok[src][4])[0]
+        for src in stage_tok}
+
+
+def test_hybrid_values_match_dense(setup):
+    """HybridDecodeFuse == dense fuse + decode-site gather in eval mode."""
+    from gdmae_tpu.models.backbones_3d.sparse_decode import HybridDecodeFuse
+    stage_tok, dec_coords, dec_valid, _, dense, variables = setup
+    hybrid = HybridDecodeFuse(fuse_cfg=FUSE_CFG, sources=SOURCES)
+    ref = _dense_feats(dense, variables, stage_tok, dec_coords, dec_valid)
+    got = hybrid.apply(variables, _dense_canvases(stage_tok), dec_coords,
+                       dec_valid, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_grads_match_dense(setup):
+    from gdmae_tpu.models.backbones_3d.sparse_decode import HybridDecodeFuse
+    stage_tok, dec_coords, dec_valid, _, dense, variables = setup
+    hybrid = HybridDecodeFuse(fuse_cfg=FUSE_CFG, sources=SOURCES)
+    cot = jnp.asarray(
+        np.random.RandomState(2).randn(B, dec_coords.shape[1],
+                                       8).astype(np.float32))
+    cot = cot * dec_valid[..., None]
+    toks0 = {s: stage_tok[s][0] for s in stage_tok}
+
+    def loss_hybrid(params, toks):
+        st = {s: (toks[s],) + stage_tok[s][1:] for s in stage_tok}
+        vs = {"params": params, **{
+            k: v for k, v in variables.items() if k != "params"}}
+        out = hybrid.apply(vs, _dense_canvases(st), dec_coords, dec_valid,
+                           train=False)
+        return jnp.sum(out * cot)
+
+    def loss_dense(params, toks):
+        st = {s: (toks[s],) + stage_tok[s][1:] for s in stage_tok}
+        vs = {"params": params, **{
+            k: v for k, v in variables.items() if k != "params"}}
+        return jnp.sum(_dense_feats(dense, vs, st, dec_coords, dec_valid) * cot)
+
+    gh_p, gh_t = jax.grad(loss_hybrid, argnums=(0, 1))(
+        variables["params"], toks0)
+    gd_p, gd_t = jax.grad(loss_dense, argnums=(0, 1))(
+        variables["params"], toks0)
+    for s in toks0:
+        np.testing.assert_allclose(
+            np.asarray(gh_t[s]), np.asarray(gd_t[s]), rtol=1e-4, atol=1e-4,
+            err_msg=f"token grads differ for {s}")
+    flat_d = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(gd_p)}
+    for k, v in jax.tree_util.tree_leaves_with_path(gh_p):
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_d[jax.tree_util.keystr(k)]),
+            rtol=1e-4, atol=1e-4, err_msg=f"param grad differs at {k}")

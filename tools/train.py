@@ -125,8 +125,53 @@ def main():
     model = build_network(cfg_.MODEL, num_class=len(cfg_.CLASS_NAMES),
                           dataset=meta, dtype=dtype)
 
+    # Host-side index building (datasets.processor.host_pillarize): the
+    # loader pre-sorts points + precomputes the pillar tables for DynVFE,
+    # and for MAE pretraining additionally draws the mask and groups the GT
+    # point sets — index-only work that cost ~45 ms/step on-device at
+    # batch 16 and overlaps with device compute here.  Opt-outs:
+    # MODEL.VFE.TPU_HOST_PILLARIZE: false / BACKBONE_3D.TPU_HOST_MAE_TARGETS:
+    # false fall back to the fully in-graph paths.
+    host_prep_fns = []
+    b3d = cfg_.MODEL.get("BACKBONE_3D", {})
+    if (cfg_.MODEL.get("VFE", {}).get("NAME") == "DynVFE"
+            and bool(cfg_.MODEL.VFE.get("TPU_HOST_PILLARIZE", True))):
+        from gdmae_tpu.datasets.processor.host_pillarize import (
+            pillarize_batch_np,
+        )
+
+        def host_pil_fn(bt):
+            tabs, pts_s, pm_s = pillarize_batch_np(
+                bt["points"], bt["point_mask"], meta.point_cloud_range,
+                meta.voxel_size, meta.grid_size, meta.max_pillars)
+            bt["points"], bt["point_mask"] = pts_s, pm_s
+            bt.update(tabs)
+
+        host_prep_fns.append(host_pil_fn)
+    if (b3d.get("NAME") == "SPTBackboneMAE"
+            and b3d.get("MASK_CONFIG") is not None
+            and bool(b3d.get("TPU_HOST_MAE_TARGETS", True))):
+        from gdmae_tpu.datasets.processor.host_pillarize import (
+            mae_host_targets,
+        )
+        from gdmae_tpu.models.backbones_3d.spt_backbone import mae_dec_cap
+        host_mae_rng = np.random.default_rng(
+            (0 if args.fix_random_seed else (int(time.time()) % 2 ** 20))
+            * 1000003 + jax.process_index())
+        host_prep_fns.append(lambda bt: bt.update(mae_host_targets(
+            bt["points"], bt["point_mask"], meta.point_cloud_range,
+            meta.voxel_size, meta.grid_size, meta.max_pillars,
+            float(b3d.MASK_CONFIG.RATIO),
+            int(b3d.MASK_CONFIG.NUM_GT_POINTS),
+            mae_dec_cap(b3d, meta.max_pillars), host_mae_rng)))
+
+    def host_prep(bt):
+        for fn in host_prep_fns:
+            fn(bt)
+        return bt
+
     # build example batch for init
-    example = next(iter(dataloader))
+    example = host_prep(next(iter(dataloader)))
     device_batch = {k: jnp.asarray(v) for k, v in example.items()
                     if isinstance(v, np.ndarray)}
     params, batch_stats = train_lib.init_model(model, device_batch)
@@ -173,6 +218,7 @@ def main():
             sampler.set_epoch(epoch)
         t_end = time.perf_counter()
         for it, batch in enumerate(dataloader):
+            host_prep(batch)
             device_batch = {k: v for k, v in batch.items()
                             if isinstance(v, np.ndarray)}
             device_batch = mesh_lib.shard_batch(device_batch, mesh)
