@@ -169,3 +169,128 @@ class NuScenesDataset(DatasetTemplate):
             output_dir=str(output_path), verbose=True)
         metrics_summary = nusc_eval.main(plot_examples=0, render_curves=False)
         return str(metrics_summary), metrics_summary
+
+    # -- raw-data tooling (reference nuscenes_dataset.py:252-339) --------- #
+    def create_groundtruth_database(self, used_classes=None, max_sweeps=10):
+        """Per-object point clips + db infos for the gt-sampling augmentor
+        (reference :252-291).  Torch-free: the reference's
+        ``points_in_boxes_gpu`` (one box id per point, first box wins)
+        becomes a numpy corners/in-hull assignment on host."""
+        from ...utils import box_utils
+
+        database_save_path = self.root_path / f"gt_database_{max_sweeps}sweeps_withvelo"
+        db_info_save_path = self.root_path / f"nuscenes_dbinfos_{max_sweeps}sweeps_withvelo.pkl"
+        database_save_path.mkdir(parents=True, exist_ok=True)
+
+        all_db_infos = {}
+        for idx in range(len(self.infos)):
+            info = self.infos[idx]
+            points = self.get_lidar_with_sweeps(idx, max_sweeps=max_sweeps)
+            gt_boxes = info["gt_boxes"]
+            gt_names = info["gt_names"]
+            if len(gt_boxes) == 0:
+                continue
+            corners = box_utils.boxes_to_corners_3d(
+                np.asarray(gt_boxes[:, :7], np.float32))
+            assigned = np.zeros(len(points), bool)
+            for i in range(gt_boxes.shape[0]):
+                inside = box_utils.in_hull(points[:, 0:3], corners[i]) & ~assigned
+                assigned |= inside
+                gt_points = points[inside].astype(np.float32)
+                gt_points[:, :3] -= gt_boxes[i, :3]
+                filename = "%s_%s_%d.bin" % (idx, gt_names[i], i)
+                filepath = database_save_path / filename
+                gt_points.tofile(filepath)
+                if used_classes is None or gt_names[i] in used_classes:
+                    db_info = {
+                        "name": gt_names[i],
+                        "path": str(filepath.relative_to(self.root_path)),
+                        "image_idx": idx, "gt_idx": i,
+                        "box3d_lidar": gt_boxes[i],
+                        "num_points_in_gt": gt_points.shape[0],
+                    }
+                    all_db_infos.setdefault(str(gt_names[i]), []).append(db_info)
+        for k, v in all_db_infos.items():
+            print("Database %s: %d" % (k, len(v)))
+        with open(db_info_save_path, "wb") as f:
+            pickle.dump(all_db_infos, f)
+        return db_info_save_path
+
+
+def create_nuscenes_info(version, data_path, save_path, max_sweeps=10,
+                         nusc=None, scene_splits=None):
+    """Build the per-split info pkls from a raw nuScenes root (reference
+    nuscenes_dataset.py:294-339).  ``nusc``/``scene_splits`` are injectable
+    so the pipeline is testable without the devkit; by default they come
+    from the nuscenes package (guarded import)."""
+    from . import nuscenes_utils
+
+    data_path, save_path = Path(data_path), Path(save_path)
+    assert version in ("v1.0-trainval", "v1.0-test", "v1.0-mini")
+    if scene_splits is None:
+        from nuscenes.utils import splits
+        scene_splits = {
+            "v1.0-trainval": (splits.train, splits.val),
+            "v1.0-test": (splits.test, []),
+            "v1.0-mini": (splits.mini_train, splits.mini_val),
+        }
+    train_scenes, val_scenes = scene_splits[version]
+    if nusc is None:
+        from nuscenes.nuscenes import NuScenes
+        nusc = NuScenes(version=version, dataroot=str(data_path), verbose=True)
+
+    available = nuscenes_utils.get_available_scenes(nusc)
+    names = [s["name"] for s in available]
+    train_scenes = {available[names.index(s)]["token"]
+                    for s in train_scenes if s in names}
+    val_scenes = {available[names.index(s)]["token"]
+                  for s in val_scenes if s in names}
+    print("%s: train scene(%d), val scene(%d)"
+          % (version, len(train_scenes), len(val_scenes)))
+
+    train_infos, val_infos = nuscenes_utils.fill_trainval_infos(
+        data_path=data_path, nusc=nusc, train_scenes=train_scenes,
+        val_scenes=val_scenes, test="test" in version, max_sweeps=max_sweeps)
+
+    save_path.mkdir(parents=True, exist_ok=True)
+    if version == "v1.0-test":
+        print("test sample: %d" % len(train_infos))
+        with open(save_path / f"nuscenes_infos_{max_sweeps}sweeps_test.pkl", "wb") as f:
+            pickle.dump(train_infos, f)
+    else:
+        print("train sample: %d, val sample: %d"
+              % (len(train_infos), len(val_infos)))
+        with open(save_path / f"nuscenes_infos_{max_sweeps}sweeps_train.pkl", "wb") as f:
+            pickle.dump(train_infos, f)
+        with open(save_path / f"nuscenes_infos_{max_sweeps}sweeps_val.pkl", "wb") as f:
+            pickle.dump(val_infos, f)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    import yaml
+
+    from ...config import as_easy
+    from ...utils import common_utils
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg_file", required=True)
+    parser.add_argument("--data_path", required=True)
+    parser.add_argument("--version", default="v1.0-trainval")
+    parser.add_argument("--with_gt_database", action="store_true",
+                        default=True)
+    args = parser.parse_args()
+
+    with open(args.cfg_file) as f:
+        dataset_cfg = as_easy(yaml.safe_load(f))
+    dataset_cfg.VERSION = args.version
+    create_nuscenes_info(
+        version=args.version, data_path=Path(args.data_path),
+        save_path=Path(args.data_path),
+        max_sweeps=dataset_cfg.MAX_SWEEPS)
+    ds = NuScenesDataset(
+        dataset_cfg=dataset_cfg, class_names=None,
+        root_path=Path(args.data_path),
+        logger=common_utils.create_logger(), training=True)
+    ds.create_groundtruth_database(max_sweeps=dataset_cfg.MAX_SWEEPS)

@@ -97,6 +97,17 @@ def quaternion_yaw(q):
     return float(np.arctan2(v[1], v[0]))
 
 
+def quat_rotmat(q):
+    """(3, 3) rotation matrix of a wxyz quaternion (replaces
+    pyquaternion.Quaternion.rotation_matrix — the devkit stays optional)."""
+    w, x, y, z = np.asarray(q, np.float64)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
 # ---------------- detection export ---------------------------------------- #
 def boxes_lidar_to_nusenes(det_info):
     """(N, 7|9) lidar boxes -> list of dict boxes {center, wlh, quat, velocity,
@@ -230,12 +241,13 @@ def get_available_scenes(nusc):
 def fill_trainval_infos(data_path, nusc, train_scenes, val_scenes, test=False,
                         max_sweeps=10):
     """Build train/val info dicts with sweep transform chains (reference
-    :252-380). Requires the nuscenes devkit (Quaternion/transform_matrix)."""
-    from pyquaternion import Quaternion
+    :252-380).  Devkit-free math: quaternions are handled by
+    :func:`quat_rotmat`, so only the ``nusc`` table object itself needs the
+    nuscenes package (and it is injectable for tests)."""
 
     def transform_matrix(translation, rotation, inverse=False):
         tm = np.eye(4)
-        rot = np.asarray(rotation.rotation_matrix)
+        rot = quat_rotmat(rotation)
         if inverse:
             tm[:3, :3] = rot.T
             tm[:3, 3] = rot.T @ (-np.asarray(translation))
@@ -254,9 +266,9 @@ def fill_trainval_infos(data_path, nusc, train_scenes, val_scenes, test=False,
         ref_lidar_path, ref_boxes, _ = nusc.get_sample_data(ref_sd_token)
 
         ref_from_car = transform_matrix(
-            ref_cs["translation"], Quaternion(ref_cs["rotation"]), inverse=True)
+            ref_cs["translation"], ref_cs["rotation"], inverse=True)
         car_from_global = transform_matrix(
-            ref_pose["translation"], Quaternion(ref_pose["rotation"]), inverse=True)
+            ref_pose["translation"], ref_pose["rotation"], inverse=True)
 
         info = {
             "lidar_path": str(ref_lidar_path),
@@ -283,10 +295,10 @@ def fill_trainval_infos(data_path, nusc, train_scenes, val_scenes, test=False,
             sd = nusc.get("sample_data", sd["prev"])
             pose = nusc.get("ego_pose", sd["ego_pose_token"])
             gfc = transform_matrix(
-                pose["translation"], Quaternion(pose["rotation"]), inverse=False)
+                pose["translation"], pose["rotation"], inverse=False)
             cs = nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
             cfc = transform_matrix(
-                cs["translation"], Quaternion(cs["rotation"]), inverse=False)
+                cs["translation"], cs["rotation"], inverse=False)
             tm = ref_from_car @ car_from_global @ gfc @ cfc
             info["sweeps"].append({
                 "lidar_path": str(nusc.get_sample_data_path(sd["token"])),

@@ -81,6 +81,43 @@ class WaymoDataset(DatasetTemplate):
             if self.logger is not None:
                 self.logger.info("Sampled to %d samples", len(self.infos))
 
+    def set_split(self, split):
+        """Re-point the dataset at another ImageSets split (reference
+        waymo_dataset.py:59-69); used by the raw-extraction driver."""
+        super().__init__(
+            dataset_cfg=self.dataset_cfg, class_names=self.class_names,
+            training=self.training, root_path=self.root_path,
+            logger=self.logger)
+        self.split = split
+        split_file = self.root_path / "ImageSets" / (split + ".txt")
+        self.sample_sequence_list = (
+            [x.strip() for x in split_file.read_text().splitlines()]
+            if split_file.exists() else [])
+        self.infos = []
+
+    def get_infos(self, raw_data_path, save_path, num_workers=4,
+                  has_label=True, sampled_interval=1, frame_parser=None):
+        """Extract every sequence of the current split from raw tfrecords
+        (reference waymo_dataset.py:137-160; extraction itself is the
+        torch/TF-free waymo_extract.process_single_sequence)."""
+        import multiprocessing
+        from functools import partial
+
+        from . import waymo_extract
+
+        process = partial(
+            waymo_extract.process_single_sequence, save_path=save_path,
+            sampled_interval=sampled_interval, has_label=has_label,
+            frame_parser=frame_parser)
+        files = [self.check_sequence_name_with_all_version(
+            Path(raw_data_path) / seq) for seq in self.sample_sequence_list]
+        if num_workers > 1 and frame_parser is None and len(files) > 1:
+            with multiprocessing.Pool(num_workers) as pool:
+                seq_infos = pool.map(process, files)
+        else:  # injected parsers may not pickle
+            seq_infos = [process(f) for f in files]
+        return [info for infos in seq_infos for info in infos]
+
     # -- /dev/shm point cache (reference waymo_dataset.py:78-120) --------- #
     def _shm_key(self, sequence_name, sample_idx):
         return f"gdmae_{sequence_name}___{sample_idx}"

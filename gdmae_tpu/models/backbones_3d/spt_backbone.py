@@ -776,6 +776,21 @@ class SPTBackboneMAE(nn.Module):
                 gt_points = host_gt
                 gt_mask = batch_dict["host_mae_gt_mask"] & \
                     dec_valid[..., None]
+            elif bool(cfg.get("TPU_MAE_WRAP_GT", False)):
+                # exact-parity GT build: wrap-repeat each pillar's points to
+                # fill all num_gt slots like the reference group_inner_inds
+                # kernel (sst_ops_gpu.cu:22-39) — the padded+mask default
+                # reweights multi-point pillars' gt->pred term by up to one
+                # part in k/count; this flag removes that delta for the
+                # torch gradient-parity suite (test_train_trajectory)
+                gt_full = jax.vmap(
+                    lambda v, r: scatter_ops.group_points_wrap(v, r, num_gt)
+                )(points[..., :3], res)  # (B, M, num_gt, 3)
+                gt_points = jnp.take_along_axis(
+                    gt_full.reshape(b, m, num_gt * 3), dec_idx_c[..., None],
+                    axis=1).reshape(b, m_dec, num_gt, 3)
+                gt_mask = jnp.broadcast_to(
+                    dec_valid[..., None], (b, m_dec, num_gt))
             else:
                 # device fallback: full-M sorted scatter, then compact the
                 # grouped sets with ONE contiguous-row gather ((k*3)-float

@@ -224,7 +224,28 @@ class Detector3DTemplate(nn.Module):
             cls_preds = jax.nn.sigmoid(cls_preds)
 
         if nms_cfg.get("MULTI_CLASSES_NMS", False):
-            raise NotImplementedError("multi-class NMS comes with CenterHead-IoU")
+            # per-class NMS for any detector (reference
+            # detector3d_template.py:229-262 + model_nms_utils.py:49-87):
+            # each class runs its own fixed-K suppression; outputs are the
+            # concatenated per-class keep sets (K = num_class * POST_MAXSIZE)
+            from ..model_utils import model_nms_utils
+
+            def per_sample_mc(boxes_s, cls_s):
+                keep_idx, keep_mask, keep_scores, labels0 = \
+                    model_nms_utils.multi_classes_nms(
+                        cls_s, boxes_s, nms_cfg,
+                        score_thresh=score_thresh if score_thresh > 0 else None)
+                safe = jnp.clip(keep_idx, 0)
+                return (boxes_s[safe] * keep_mask[:, None], keep_scores,
+                        (labels0.astype(jnp.int32) + 1) * keep_mask,
+                        keep_mask)
+
+            fb, fs, fl, fm = jax.vmap(per_sample_mc)(box_preds, cls_preds)
+            batch_dict["final_boxes"] = fb
+            batch_dict["final_scores"] = fs
+            batch_dict["final_labels"] = fl
+            batch_dict["final_valid"] = fm
+            return batch_dict
 
         scores = jnp.max(cls_preds, axis=-1)
         if batch_dict.get("has_class_labels", False):

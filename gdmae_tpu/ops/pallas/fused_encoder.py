@@ -152,9 +152,11 @@ def _layer_block(x, pos, kb, bias, params, h):
     hmid = jax.lax.dot_general(
         src, w(w1), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(cdt) + w(b1[0])
-    # exact (erf) gelu: matches BucketEncoderLayer / torch F.gelu default
-    # (erf lowers fine in Mosaic; the tanh form was ~1e-3 off)
-    hmid = jax.nn.gelu(hmid, approximate=False)
+    # gelu form matches BucketEncoderLayer: tanh fast path by default,
+    # exact erf under GDMAE_EXACT_GELU=1 (torch F.gelu parity flag)
+    import os
+    hmid = jax.nn.gelu(
+        hmid, approximate=not os.environ.get("GDMAE_EXACT_GELU"))
     ffn = jax.lax.dot_general(
         hmid, w(w2), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(cdt) + w(b2[0])

@@ -98,16 +98,44 @@ def _segment_max_fwd(values, segment_ids, num_segments, indices_are_sorted):
 
 
 def _segment_max_bwd(num_segments, indices_are_sorted, res, g):
+    import os
     values, segment_ids, out = res
     n = values.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    idx = idx.reshape((n,) + (1,) * (values.ndim - 1))
+    mode = os.environ.get("GDMAE_SEGMAX_BWD", "")
     is_max = values == out[segment_ids]
-    cand = jnp.where(is_max, idx, n)
-    first = jax.ops.segment_min(
-        jnp.broadcast_to(cand, values.shape), segment_ids,
-        num_segments=num_segments, indices_are_sorted=indices_are_sorted)
-    winner = idx == first[segment_ids]
+    if mode == "split":
+        # A/B only — jax native tie-splitting backward (NOT torch parity):
+        # quantifies the first-winner bookkeeping cost
+        num = jax.ops.segment_sum(
+            is_max.astype(values.dtype), segment_ids,
+            num_segments=num_segments, indices_are_sorted=indices_are_sorted)
+        gv = jnp.where(
+            is_max, (g / jnp.maximum(num, 1))[segment_ids], 0
+        ).astype(values.dtype)
+        return gv, np.zeros(segment_ids.shape, dtype=jax.dtypes.float0)
+    if indices_are_sorted and mode != "minscatter":
+        # sorted-segment fast path: the first max within each contiguous run
+        # is the element whose within-run inclusive count of maxima is 1 —
+        # ONE native cumsum + a row gather at run starts, no (N,C) i32
+        # segment-min scatter (TPU scatters serialize per update)
+        i_n = jnp.arange(n, dtype=jnp.int32)
+        new_run = jnp.concatenate(
+            [jnp.ones((1,), bool), segment_ids[1:] != segment_ids[:-1]])
+        run_start = jax.lax.cummax(jnp.where(new_run, i_n, 0))  # (N,)
+        cs = jnp.cumsum(is_max.astype(jnp.int32), axis=0)       # (N, ...)
+        prev = jnp.clip(run_start - 1, 0, n - 1)
+        base = jnp.where(
+            (run_start > 0)[(...,) + (None,) * (values.ndim - 1)],
+            cs[prev], 0)
+        winner = is_max & (cs - base == 1)
+    else:
+        idx = jnp.arange(n, dtype=jnp.int32)
+        idx = idx.reshape((n,) + (1,) * (values.ndim - 1))
+        cand = jnp.where(is_max, idx, n)
+        first = jax.ops.segment_min(
+            jnp.broadcast_to(cand, values.shape), segment_ids,
+            num_segments=num_segments, indices_are_sorted=indices_are_sorted)
+        winner = idx == first[segment_ids]
     gv = jnp.where(winner, g[segment_ids], 0).astype(values.dtype)
     return gv, np.zeros(segment_ids.shape, dtype=jax.dtypes.float0)
 

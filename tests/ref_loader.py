@@ -53,6 +53,28 @@ def _numpy_ingroup_inds(group_inds):
     return torch.from_numpy(out).to(group_inds.dtype)
 
 
+def _numpy_group_inner_inds(points, inverse_inds, K):
+    """Pure-numpy oracle for sst_ops_utils.group_inner_inds (reference
+    sst_ops_gpu.cu:22-39 + sst_ops_utils.py:15-27): for each group, the
+    first K member indices in order of appearance, WRAP-REPEATED to fill;
+    returns the gathered point values (num_groups, K, C).  GT gathering is
+    gradient-free in the reference, so numpy indexing is faithful."""
+    import torch
+
+    inv = inverse_inds.cpu().numpy().astype(np.int64)
+    n_groups = int(inv.max()) + 1
+    members = [[] for _ in range(n_groups)]
+    for i, g in enumerate(inv):
+        if len(members[g]) < K:
+            members[g].append(i)
+    idx = np.full((n_groups, K), -1, np.int64)
+    for g, mem in enumerate(members):
+        if mem:
+            reps = (K + len(mem) - 1) // len(mem)
+            idx[g] = (mem * reps)[:K]
+    return points[torch.from_numpy(idx)]
+
+
 def _make_torch_scatter_stub():
     """Pure-torch emulation of the torch_scatter ops the reference GD-MAE
     forward path uses (scatter / scatter_max / scatter_min with argout).
@@ -304,6 +326,35 @@ def _install_stubs():
     if "torch_scatter" not in sys.modules:
         sys.modules["torch_scatter"] = _make_torch_scatter_stub()
 
+    if "pytorch3d" not in sys.modules:
+        # torch oracle for pytorch3d.loss.chamfer_distance as the reference
+        # MAE loss uses it (spt_backbone_mae.py:88: positional (x, y) +
+        # weights).  Semantics of pytorch3d defaults (point_reduction
+        # 'mean', batch_reduction 'mean'): per-cloud mean nearest SQUARED
+        # distance in both directions, per-cloud weights, batch mean
+        # normalized by weights.sum().
+        import torch as _t
+
+        def _chamfer(x, y, weights=None, **kw):
+            d2 = ((x[:, :, None, :] - y[:, None, :, :]) ** 2).sum(-1)
+            cham_x = d2.min(dim=2).values  # (N, P1)
+            cham_y = d2.min(dim=1).values  # (N, P2)
+            if weights is not None:
+                cham_x = cham_x * weights[:, None]
+                cham_y = cham_y * weights[:, None]
+                div = weights.sum()
+            else:
+                div = _t.tensor(float(x.shape[0]))
+            loss = cham_x.mean(1).sum() / div + cham_y.mean(1).sum() / div
+            return loss, None
+
+        p3d = types.ModuleType("pytorch3d")
+        p3d_loss = types.ModuleType("pytorch3d.loss")
+        p3d_loss.chamfer_distance = _chamfer
+        p3d.loss = p3d_loss
+        sys.modules["pytorch3d"] = p3d
+        sys.modules["pytorch3d.loss"] = p3d_loss
+
     if "spconv" not in sys.modules:
         sys.modules["spconv"] = _make_spconv_stub()
 
@@ -342,6 +393,7 @@ def _install_stubs():
     sst = _ensure_stub_pkg("pcdet.ops.sst_ops")
     sst_utils_ops = _ensure_stub_pkg("pcdet.ops.sst_ops.sst_ops_utils")
     sst_utils_ops.get_inner_win_inds = _numpy_ingroup_inds
+    sst_utils_ops.group_inner_inds = _numpy_group_inner_inds
     sst.sst_ops_utils = sst_utils_ops
     _ensure_stub_pkg("pcdet.utils")
     _ensure_stub_pkg("pcdet.models")
@@ -374,6 +426,8 @@ _FILES = {
         "pcdet/models/backbones_3d/vfe/dyn_vfe.py",
     "pcdet.models.backbones_3d.spt_backbone":
         "pcdet/models/backbones_3d/spt_backbone.py",
+    "pcdet.models.backbones_3d.spt_backbone_mae":
+        "pcdet/models/backbones_3d/spt_backbone_mae.py",
     "pcdet.models.backbones_3d.spconv_backbone":
         "pcdet/models/backbones_3d/spconv_backbone.py",
     "pcdet.models.img_backbones.dla": "pcdet/models/img_backbones/dla.py",
@@ -441,6 +495,11 @@ _DEPS = {
         "pcdet.models.model_utils.sst_basic_block",
         "pcdet.models.model_utils.sst_utils",
         "pcdet.utils.spconv_utils",
+    ],
+    "pcdet.models.backbones_3d.spt_backbone_mae": [
+        "pcdet.models.backbones_3d.spt_backbone",
+        "pcdet.utils.spconv_utils",
+        "pcdet.utils.common_utils",
     ],
     "pcdet.models.backbones_3d.spconv_backbone": [
         "pcdet.utils.spconv_utils",

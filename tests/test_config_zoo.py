@@ -214,3 +214,43 @@ def test_build_and_step(rel):
     if cfg.MODEL.NAME != "GDMAE":  # pretraining-only: empty post-processing
         assert "final_boxes" in out_eval, rel
         assert np.all(np.isfinite(np.asarray(out_eval["final_boxes"]))), rel
+
+
+def test_multi_classes_nms_override():
+    """Template-level MULTI_CLASSES_NMS: True must run for ANY detector
+    (reference model_nms_utils.py:49-87 + detector3d_template.py:229-262 —
+    no shipped config enables it, so it is exercised as a --set style
+    override): per-class keep sets concatenate to K = num_class * POST."""
+    rel = "kitti_models/second_mini.yaml"
+    cfg = cfg_from_yaml_file(str(CFG_DIR / rel))
+    _shrink_capacities(cfg.MODEL)
+    cfg.MODEL.POST_PROCESSING.NMS_CONFIG.MULTI_CLASSES_NMS = True
+    meta = _small_meta(cfg)
+    model = build_network(cfg.MODEL, num_class=len(meta.class_names),
+                          dataset=meta)
+    rng = np.random.RandomState(7)
+    batch = _synth_batch(rng, meta, cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=True)
+    out = model.apply(variables, batch, train=False)
+    num_class = len(meta.class_names)
+    post = int(cfg.MODEL.POST_PROCESSING.NMS_CONFIG.NMS_POST_MAXSIZE)
+    assert out["final_boxes"].shape[1] == num_class * post
+    assert np.all(np.isfinite(np.asarray(out["final_boxes"])))
+    valid = np.asarray(out["final_valid"])
+    labels = np.asarray(out["final_labels"])
+    scores = np.asarray(out["final_scores"])
+    # kept rows carry 1-based class labels, and each class's segment only
+    # ever emits its own label
+    assert np.all(labels[valid] >= 1) and np.all(labels[valid] <= num_class)
+    for c in range(num_class):
+        seg = slice(c * post, (c + 1) * post)
+        seg_valid = valid[:, seg]
+        assert np.all(labels[:, seg][seg_valid] == c + 1)
+    # suppression really ran: kept per class is capped and scores sorted
+    for b in range(valid.shape[0]):
+        for c in range(num_class):
+            seg = scores[b, c * post:(c + 1) * post]
+            m = valid[b, c * post:(c + 1) * post]
+            s = seg[m]
+            assert np.all(np.diff(s) <= 1e-6)

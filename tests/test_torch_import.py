@@ -20,6 +20,15 @@ import jax.numpy as jnp
 import ref_loader
 from gdmae_tpu.runtime import torch_import
 
+# full-stack forward parity flows through the encoder FFNs: pin torch
+# F.gelu's exact erf form (the runtime default is the tanh fast path,
+# models/model_utils/sst_layers.gelu)
+
+
+@pytest.fixture(autouse=True)
+def _exact_gelu(monkeypatch):
+    monkeypatch.setenv("GDMAE_EXACT_GELU", "1")
+
 
 def test_deconv_relayout_matches_convtranspose():
     torch = pytest.importorskip("torch")

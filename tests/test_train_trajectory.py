@@ -38,6 +38,15 @@ pytestmark = pytest.mark.slow
 from tests import ref_loader
 from gdmae_tpu.runtime import torch_import
 
+# gradient/trajectory parity vs torch requires torch F.gelu's exact erf
+# form in the encoder FFNs (runtime default is the tanh fast path; the
+# tanh/erf delta is asserted separately in test_gelu_fast_path_deviation)
+
+
+@pytest.fixture(autouse=True)
+def _exact_gelu(monkeypatch):
+    monkeypatch.setenv("GDMAE_EXACT_GELU", "1")
+
 K_STEPS = 6
 SGD_LR = 0.01
 CLIP = 10.0
@@ -381,3 +390,222 @@ def test_adam_onecycle_chain_parity():
         np.testing.assert_allclose(
             np.asarray(params[f"p{i}"]), ref, rtol=1e-5, atol=1e-7,
             err_msg=f"param {i}")
+
+
+def test_gelu_fast_path_gradient_deviation(det_pair):
+    """Pin the gradient deviation of the tanh-gelu fast path (runtime
+    default, sst_layers.gelu) vs the exact erf form on the detection graph.
+
+    Measured: median 1.6e-2 / max <6e-2 relative per-tensor — about 2x the
+    fp32 backward-conditioning floor of the encoder (median 7.4e-3,
+    torch-f32-vs-f64, test_step0_gradient_parity docstring).  This is a
+    COHERENT ~1e-3 activation-scale function change (torch
+    F.gelu(approximate='tanh') — a standard, training-neutral
+    substitution), not noise; the gates here freeze that envelope so a
+    future change that widens the fast path's deviation (or breaks the
+    erf flag) fails loudly.  Torch-parity suites always pin
+    GDMAE_EXACT_GELU=1."""
+    p = det_pair
+
+    def grads_with(exact):
+        import os
+        old = os.environ.pop("GDMAE_EXACT_GELU", None)
+        if exact:
+            os.environ["GDMAE_EXACT_GELU"] = "1"
+        try:
+            def loss_fn(params):
+                out, _ = p["model"].apply(
+                    {"params": params, "batch_stats": p["batch_stats"]},
+                    p["batch"], train=True,
+                    rngs={"mae_mask": jax.random.PRNGKey(0)},
+                    mutable=["batch_stats"])
+                return out["loss"]
+            with jax.default_matmul_precision("highest"):
+                # fresh trace each call: the env is read at trace time
+                return jax.value_and_grad(loss_fn)(p["params"])
+        finally:
+            os.environ.pop("GDMAE_EXACT_GELU", None)
+            if old is not None:
+                os.environ["GDMAE_EXACT_GELU"] = old
+
+    loss_e, g_exact = grads_with(True)
+    loss_t, g_tanh = grads_with(False)
+    np.testing.assert_allclose(float(loss_t), float(loss_e), rtol=1e-3)
+
+    # unlike the torch-parity test, BOTH sides here compute (slightly)
+    # different functions, so every downstream tensor legitimately shifts
+    # by the activation delta (~1e-3..4e-3 measured, incl. backbone_2d and
+    # the fuse) — gate ALL tensors against the reference's own fp32
+    # conditioning envelope (median 7.4e-3 / max 4.3e-2 torch-f32-vs-f64)
+    flat_e = jax.tree_util.tree_flatten_with_path(g_exact)[0]
+    flat_t = jax.tree_util.tree_flatten_with_path(g_tanh)[0]
+    rels, bad, checked = [], [], 0
+    for (path_e, ve), (path_t, vt) in zip(flat_e, flat_t):
+        assert path_e == path_t
+        name = jax.tree_util.keystr(path_e)
+        r = np.asarray(ve, np.float64)
+        g = np.asarray(vt, np.float64)
+        rn = np.linalg.norm(r)
+        if rn < 1e-10:
+            continue
+        rel = np.linalg.norm(g - r) / rn
+        checked += 1
+        rels.append(rel)
+        if rel > 6e-2:
+            bad.append((name, rel))
+    assert checked > 100, checked
+    assert not bad, bad[:20]
+    rels.sort()
+    assert rels[len(rels) // 2] < 2.5e-2, (
+        "tanh-gelu gradient deviation above its measured envelope: "
+        f"median {rels[len(rels) // 2]:.2e}")
+    # and the two forms really are different functions (flag is live)
+    assert rels[-1] > 1e-4, "erf/tanh paths produced identical gradients"
+
+
+@pytest.fixture(scope="module")
+def mae_pair():
+    """The gd_mae_ssl.yaml PRETRAIN graph (DynVFE -> SPTBackboneMAE with
+    masking, generative decoder, chamfer) built twice with identical
+    weights: reference torch modules (pytorch3d chamfer + sst_ops
+    group_inner_inds replaced by exact oracles in ref_loader) and our flax
+    network.  The torch side draws the random pillar mask; it is captured
+    from its forward and injected into our graph via ``host_mae_mask`` so
+    both sides mask identical pillars."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    from pathlib import Path
+    from gdmae_tpu.config import cfg_from_yaml_file
+    from gdmae_tpu.models.detectors.detector3d_template import build_network
+    from gdmae_tpu.runtime import train as train_lib
+
+    repo = Path(__file__).resolve().parent.parent
+    cfg = cfg_from_yaml_file(
+        str(repo / "tools/cfgs/kitti_models/gd_mae_ssl.yaml"))
+    meta = _small_meta()
+    grid = np.array([64, 64])
+    pcr = np.array(meta.point_cloud_range, np.float32)
+    vsz = [0.32, 0.32, 4.0]
+
+    dyn_vfe = ref_loader.load_ref("pcdet.models.backbones_3d.vfe.dyn_vfe")
+    spt_mae = ref_loader.load_ref(
+        "pcdet.models.backbones_3d.spt_backbone_mae")
+
+    torch.manual_seed(0)
+
+    class RefMAE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.vfe = dyn_vfe.DynVFE(
+                model_cfg=cfg.MODEL.VFE, num_point_features=4,
+                voxel_size=vsz, point_cloud_range=pcr,
+                grid_size=np.array([64, 64, 1]))
+            self.backbone_3d = spt_mae.SPTBackboneMAE(
+                model_cfg=cfg.MODEL.BACKBONE_3D, input_channels=128,
+                grid_size=grid, voxel_size=vsz, point_cloud_range=pcr)
+
+        def forward(self, bd):
+            bd = self.vfe(bd)
+            bd = self.backbone_3d(bd)
+            loss, _ = self.backbone_3d.get_loss()
+            return loss, bd
+
+    ref_model = RefMAE().train()
+    sd0 = {k: v.detach().clone().numpy()
+           for k, v in ref_model.state_dict().items()}
+
+    pts, _ = _synth_scene(5, meta.max_points)
+
+    # one torch forward to capture the random pillar mask (the mask is
+    # drawn inside the reference forward, spt_backbone_mae.py:96-100)
+    torch.manual_seed(11)
+    _, bd0 = ref_model(_ref_batch(torch, pts, np.zeros((1, 1, 8), np.float32)))
+    mae_mask = bd0["voxel_mae_mask"].detach().numpy().astype(np.float32)
+    n_vox = mae_mask.shape[0]
+    host_mask = np.ones((1, meta.max_pillars), np.float32)
+    host_mask[0, :n_vox] = mae_mask
+
+    b3d = cfg.MODEL.BACKBONE_3D
+    b3d.pop("TPU_WINDOW_CAPS", None)
+    # exact-parity knobs: wrap-repeat GT grouping (reference
+    # group_inner_inds semantics) and the plain dense decoder fuse
+    b3d.TPU_MAE_WRAP_GT = True
+    b3d.TPU_HYBRID_DECODE = False
+    model = build_network(cfg.MODEL, num_class=3, dataset=meta)
+    batch = {"points": jnp.asarray(pts[None]),
+             "point_mask": jnp.ones((1, meta.max_points), bool),
+             "host_mae_mask": jnp.asarray(host_mask)}
+    with jax.default_matmul_precision("highest"):
+        params, batch_stats = train_lib.init_model(model, batch, seed=0)
+        params, batch_stats, report = torch_import.import_torch_state(
+            sd0, params, batch_stats)
+    assert report["unmapped"] == [], report["unmapped"][:10]
+    assert report["skipped"] == [], report["skipped"][:10]
+
+    strides = {}
+    for i, src in enumerate(b3d.FEATURES_SOURCE):
+        s = int(b3d.FUSE_LAYER[src].UPSAMPLE_STRIDE)
+        # the MAE graph nests the fuse under the (shared-checkpoint)
+        # encoder scope: backbone_3d/encoder/fuse/deblock_i
+        strides[f"backbone_3d/encoder/fuse/deblock_{i}/kernel"] = s
+
+    return dict(cfg=cfg, meta=meta, ref_model=ref_model, sd0=sd0,
+                model=model, params=params, batch_stats=batch_stats,
+                batch=batch, pts=pts, deconv_strides=strides)
+
+
+def test_mae_step0_gradient_parity(mae_pair):
+    """d(chamfer)/d(theta) per tensor through the WHOLE pretrain graph —
+    masking, SST encoder over kept pillars, generative decoder, decoder
+    head, chamfer — matches the reference backward (reference
+    spt_backbone_mae.py:83-89).  Same module-aware tolerances as the
+    detection-graph test (the SST encoder backward carries ~4e-3 fp32
+    conditioning noise)."""
+    import torch
+    p = mae_pair
+    _load_sd(p["ref_model"], p["sd0"])
+    p["ref_model"].zero_grad()
+    torch.manual_seed(11)  # same mask draw as the captured one
+    loss, _ = p["ref_model"](
+        _ref_batch(torch, p["pts"], np.zeros((1, 1, 8), np.float32)))
+    loss.backward()
+    ref_grads = {k: prm.grad.detach().numpy()
+                 for k, prm in p["ref_model"].named_parameters()
+                 if prm.grad is not None}
+
+    def loss_fn(params):
+        out, _ = p["model"].apply(
+            {"params": params, "batch_stats": p["batch_stats"]},
+            p["batch"], train=True,
+            rngs={"mae_mask": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"])
+        return out["loss"]
+
+    with jax.default_matmul_precision("highest"):
+        jloss, grads = jax.value_and_grad(loss_fn)(p["params"])
+    np.testing.assert_allclose(float(jloss), float(loss.item()), rtol=1e-4)
+
+    got = torch_import.export_torch_state(
+        grads, deconv_strides=p["deconv_strides"])
+    checked, bad, noisy_rels = 0, [], []
+    for name, ref_g in ref_grads.items():
+        assert name in got, f"gradient for {name} not exported"
+        g = np.asarray(got[name], np.float64)
+        r = np.asarray(ref_g, np.float64)
+        rn = np.linalg.norm(r)
+        if rn < 1e-10:
+            assert np.linalg.norm(g) < 1e-8, name
+            continue
+        rel = np.linalg.norm(g - r) / rn
+        checked += 1
+        ill = name.startswith(("backbone_3d.sst_blocks", "vfe"))
+        if ill:
+            noisy_rels.append(rel)
+        if rel > (6e-2 if ill else 2e-3):
+            bad.append((name, rel, rn))
+    assert checked > 60, checked
+    assert not bad, bad[:20]
+    noisy_rels.sort()
+    assert noisy_rels and noisy_rels[len(noisy_rels) // 2] < 8e-3, (
+        "median encoder-gradient error above the fp32 conditioning floor: "
+        f"{noisy_rels[len(noisy_rels) // 2]:.2e}")

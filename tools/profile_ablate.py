@@ -171,37 +171,42 @@ def main():
     if "noplans" in variants:
         cfg.MODEL.BACKBONE_3D.TPU_ABLATE = ["plans"]
     if "novfe" in variants:
+        # stub must preserve the REAL downstream sparsity or the encoder
+        # cost changes under it (the old synthetic-uniform 8192-pillar stub
+        # made `novfe` measure SLOWER than `full` once host-pillarize
+        # landed): reuse the host pillar tables from the batch and replace
+        # only the VFE compute (feature build + MLP + segment reductions)
+        # with a pad of each pillar's first point.
         def stub_call(self, batch_dict, train=True):
-            points = batch_dict["points"]
+            points = batch_dict["points"]  # pillar-sorted (host path)
             b, n, _ = points.shape
             m = self.max_pillars
-            nx, ny = int(self.grid_size[0]), int(self.grid_size[1])
-            lin = jnp.arange(m, dtype=jnp.int32)
-            coords = jnp.stack([lin // nx, lin % nx], axis=-1)
-            coords = jnp.broadcast_to(coords[None], (b, m, 2))
-            c_out = self.output_feature_dim
-            pf = jnp.pad(points[:, :m, :], ((0, 0), (0, 0), (0, c_out - points.shape[-1])))
-            point_pillar = ((jnp.arange(n, dtype=jnp.int32) * m) // n)
-            point_pillar = jnp.broadcast_to(point_pillar[None], (b, n))
-            starts = (jnp.arange(m, dtype=jnp.int32) * n) // m
-            counts = jnp.diff(jnp.concatenate(
-                [starts, jnp.asarray([n], jnp.int32)]))
+            assert "host_pillar_start" in batch_dict, (
+                "novfe stub requires the host-pillarize batch "
+                "(GDMAE_BENCH_HOST_PIL=1, the default)")
+            identity = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[None], (b, n))
             res = scatter_ops.PillarizeResult(
-                pillar_coords=jnp.broadcast_to(
-                    jnp.stack([lin // nx, lin % nx], -1)[None], (b, m, 2)),
-                pillar_mask=jnp.ones((b, m), bool),
-                point_pillar=point_pillar,
-                point_order=jnp.broadcast_to(
-                    jnp.arange(n, dtype=jnp.int32)[None], (b, n)),
-                pillar_start=jnp.broadcast_to(starts[None], (b, m)),
-                pillar_count=jnp.broadcast_to(counts[None], (b, m)),
-                num_pillars=jnp.full((b,), m, jnp.int32),
+                pillar_coords=batch_dict["host_pillar_coords"],
+                pillar_mask=batch_dict["host_pillar_mask"],
+                point_pillar=batch_dict["host_point_pillar"],
+                point_order=identity,
+                pillar_start=batch_dict["host_pillar_start"],
+                pillar_count=batch_dict["host_pillar_count"],
+                num_pillars=batch_dict["host_num_pillars"],
             )
+            c_out = self.output_feature_dim
+            first = jnp.take_along_axis(
+                points, jnp.clip(res.pillar_start, 0, n - 1)[..., None],
+                axis=1)  # (B, M, C_in)
+            pf = jnp.pad(first, ((0, 0), (0, 0), (0, c_out - first.shape[-1])))
+            pf = pf * res.pillar_mask[..., None].astype(pf.dtype)
             batch_dict["pillar_features"] = pf.astype(self.dtype)
-            batch_dict["pillar_coords"] = coords
-            batch_dict["pillar_mask"] = jnp.ones((b, m), bool)
-            batch_dict["point_pillar"] = point_pillar
-            batch_dict["point_valid"] = jnp.ones((b, n), bool)
+            batch_dict["pillar_coords"] = res.pillar_coords
+            batch_dict["pillar_mask"] = res.pillar_mask
+            batch_dict["point_pillar"] = res.point_pillar
+            batch_dict["point_valid"] = (
+                (res.point_pillar < m) & batch_dict["point_mask"])
             batch_dict["pillarize_result"] = res
             return batch_dict
         dyn_vfe_mod.DynVFE.__call__ = stub_call

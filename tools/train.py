@@ -42,6 +42,10 @@ def parse_config():
     parser.add_argument("--synthetic", type=int, default=0, metavar="N",
                         help="train on N synthetic random scenes (no dataset "
                              "files needed; drives the full pipeline)")
+    parser.add_argument("--bench_json", type=str, default=None,
+                        help="write loader-in-the-loop sustained throughput "
+                             "(scans/s, compile step excluded) to this JSON "
+                             "file at the end of each epoch")
     parser.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER,
                         default=None)
     args = parser.parse_args()
@@ -217,6 +221,8 @@ def main():
         if sampler is not None:
             sampler.set_epoch(epoch)
         t_end = time.perf_counter()
+        sustained_t0 = None  # set after the compile step finishes
+        sustained_scans = 0
         for it, batch in enumerate(dataloader):
             host_prep(batch)
             device_batch = {k: v for k, v in batch.items()
@@ -231,6 +237,15 @@ def main():
             batch_time = time.perf_counter() - t_end
             t_end = time.perf_counter()
             meter.update(batch_time)
+            if sustained_t0 is None:
+                # first iteration pays the jit compile: fence it, then
+                # start the sustained clock (loader + host_prep + device
+                # step all inside the timed region from here on)
+                float(jnp.sum(metrics["loss"]))
+                sustained_t0 = time.perf_counter()
+                t_end = sustained_t0
+            else:
+                sustained_scans += next(iter(device_batch.values())).shape[0]
             if it % 20 == 0:
                 loss = float(metrics["loss"])
                 cur_lr = float(lr_fn(int(state.step)))
@@ -245,6 +260,22 @@ def main():
                     for k, v in metrics.items():
                         if k != "loss" and hasattr(v, "item"):
                             tb_writer.add_scalar(f"train/{k}", float(v), gstep)
+        if sustained_t0 is not None and sustained_scans > 0:
+            # fence: all dispatched steps must finish inside the clock
+            float(jnp.sum(metrics["loss"]))
+            dt = time.perf_counter() - sustained_t0
+            sustained = sustained_scans / dt
+            logger.info(
+                "epoch %d sustained (loader-in-the-loop, %d scans, compile "
+                "step excluded): %.2f scans/s", epoch, sustained_scans,
+                sustained)
+            if args.bench_json and jax.process_index() == 0:
+                import json
+                with open(args.bench_json, "w") as f:
+                    json.dump({"train_sustained_scans_per_sec":
+                               round(sustained, 2),
+                               "scans": sustained_scans, "epoch": epoch,
+                               "elapsed_s": round(dt, 2)}, f)
         if jax.process_index() == 0 and (epoch + 1) % args.ckpt_save_interval == 0:
             path = ckpt_lib.save_checkpoint(
                 state, ckpt_dir, epoch + 1, max_ckpt_save_num=args.max_ckpt_save_num)
