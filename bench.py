@@ -391,10 +391,11 @@ def main():
         out["detect_batch8_scans_per_sec"] = round(det_batch8_scans_per_sec, 1)
     if train_sustained is not None:
         out["train_sustained_scans_per_sec"] = train_sustained
-    # round-over-round trend (r2: 60.34 scans/s, detect_p50 65.62 ms wall —
-    # BENCH_r02.json; r1: 37.7 scans/s)
+    # round-over-round trend (BENCH_r0*.json; r3's 46.17 was the
+    # TPU_HYBRID_DECODE default-on regression, PERFORMANCE.md round 4)
     out["prev_rounds"] = {"r1_scans_per_sec": 37.7, "r2_scans_per_sec": 60.34,
-                          "r2_detect_p50_ms": 65.62}
+                          "r3_scans_per_sec": 46.17,
+                          "r3_detect_p50_device_ms": 39.82}
     print(json.dumps(out))
 
 
