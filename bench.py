@@ -140,6 +140,18 @@ def main():
                 mae_dec_cap(b3d, meta.max_pillars),
                 np.random.default_rng(0))
             batch.update({k: jnp.asarray(v) for k, v in host.items()})
+            # window plans on HOST too (ops.window_host): index-only work
+            # that cost ~32 ms/step in-graph (r4 sweep noattn - noplans)
+            if (os.environ.get("GDMAE_BENCH_HOST_PLANS", "1") != "0"
+                    and os.environ.get("GDMAE_BENCH_HOST_PIL", "1") != "0"
+                    and b3d.get("TPU_WINDOW_MODE") == "joint"):
+                from gdmae_tpu.ops.window_host import mae_host_plans
+                plans = mae_host_plans(
+                    b3d, np.asarray(batch["host_pillar_coords"]),
+                    np.asarray(batch["host_pillar_mask"]),
+                    host["host_mae_mask"],
+                    (int(meta.grid_size[1]), int(meta.grid_size[0])))
+                batch.update({k: jnp.asarray(v) for k, v in plans.items()})
         params, batch_stats = train_lib.init_model(model, batch, seed=0)
         tx, _ = optimization.build_optimizer(cfg.OPTIMIZATION, 100, 30)
         state = train_lib.TrainState.create(params, batch_stats, tx)

@@ -173,7 +173,7 @@ class SSTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, coords, mask, occ, canvas_in=None,
-                 cell2tok_in=None, train: bool = True):
+                 cell2tok_in=None, host_win=None, train: bool = True):
         """tokens (B, M, C); coords (B, M, 2) on the input grid; mask (B, M);
         occ (B, Ny, Nx).  Returns (tokens, coords, mask, occ, canvas_out,
         cell2tok) on the stage's output grid — the cell->token map is built
@@ -181,7 +181,13 @@ class SSTBlock(nn.Module):
         the window plans (each rebuild is a canvas-wide int scatter).  In
         ``dense`` window mode the stage is canvas-resident: tokens/coords/
         mask may be ``None`` when ``canvas_in`` is given, and ``None`` is
-        returned for them."""
+        returned for them.
+
+        ``host_win``: optional loader-precomputed window work for this
+        stage (ops.window_host.host_joint_plans — joint mode only): keys
+        'plans' (token-space JointPlan per shift) and, for strided stages,
+        'coords'/'cmask'/'occ' (the dilated+compacted output token list) —
+        replaces ~32 ms/step of in-graph plan building (r4 sweep)."""
         blk = as_easy(self.block_cfg)
         enc = blk.ENCODER
         pre = blk.PREPROCESS
@@ -194,10 +200,16 @@ class SSTBlock(nn.Module):
         b, m, _ = tokens.shape
 
         if stride > 1:
-            occ_out = dilate_occupancy(occ, kernel=3, stride=stride)
-            ny2, nx2 = occ_out.shape[1], occ_out.shape[2]
-            cap = self.token_cap_out or min(ny2 * nx2, 4 * m)
-            coords_out, mask_out = window_ops.compact_occupancy(occ_out, cap)
+            if host_win is not None and "occ" in host_win:
+                occ_out = host_win["occ"]
+                ny2, nx2 = occ_out.shape[1], occ_out.shape[2]
+                coords_out, mask_out = host_win["coords"], host_win["cmask"]
+            else:
+                occ_out = dilate_occupancy(occ, kernel=3, stride=stride)
+                ny2, nx2 = occ_out.shape[1], occ_out.shape[2]
+                cap = self.token_cap_out or min(ny2 * nx2, 4 * m)
+                coords_out, mask_out = window_ops.compact_occupancy(
+                    occ_out, cap)
             c2t_out = window_ops.build_cell2tok(
                 coords_out, mask_out, (ny2, nx2))
             if self.sparse_conv:
@@ -243,6 +255,14 @@ class SSTBlock(nn.Module):
         if "plans" in self.ablate:
             plans = None
             participate = mask
+        elif host_win is not None and self.window_mode == "joint":
+            plans = host_win["plans"]  # token-space JointPlans per shift
+            participate = None
+            for plan in plans:
+                cover = plan.inv_idx < plan.total_tokens
+                participate = cover if participate is None else \
+                    (participate & cover)
+            participate = participate & mask
         elif self.window_mode == "joint":
             assert self.joint_budget > 0 and self.joint_budget % 128 == 0, (
                 "TPU_WINDOW_MODE: joint needs TPU_JOINT_BUDGETS (one "
@@ -545,6 +565,27 @@ class SPTBackbone(nn.Module):
         # dense convs can be faster (no gathers)
         sp_conv = cfg.get("TPU_SPARSE_CONV", False)
         for i, blk in enumerate(cfg.SST_BLOCK_LIST):
+            host_win = None
+            if (f"host_win{i}s0_tok_src" in batch_dict
+                    and str(cfg.get("TPU_WINDOW_MODE", "bucket")) == "joint"
+                    and not cfg.get("TPU_ABLATE", ())):
+                host_win = {
+                    "plans": [
+                        window_ops.JointPlan(
+                            tok_src=batch_dict[f"host_win{i}s{j}_tok_src"],
+                            tok_valid=batch_dict[f"host_win{i}s{j}_tok_valid"],
+                            tok_incell=batch_dict[f"host_win{i}s{j}_tok_incell"],
+                            wid=batch_dict[f"host_win{i}s{j}_wid"],
+                            inv_idx=batch_dict[f"host_win{i}s{j}_inv"],
+                            overflow=jnp.zeros((), jnp.int32),
+                        )
+                        for j in (0, 1)
+                    ],
+                }
+                if f"host_stage{i}_occ" in batch_dict:
+                    host_win["occ"] = batch_dict[f"host_stage{i}_occ"]
+                    host_win["coords"] = batch_dict[f"host_stage{i}_coords"]
+                    host_win["cmask"] = batch_dict[f"host_stage{i}_cmask"]
             tokens, coords, mask, occ, canvas, c2t = SSTBlock(
                 block_cfg=blk, grid_hw=grids[i], win_caps=caps[i],
                 token_cap_out=int(tok_caps[i]) if tok_caps is not None else 0,
@@ -560,7 +601,7 @@ class SPTBackbone(nn.Module):
                 ablate=tuple(cfg.get("TPU_ABLATE", ())),
                 dtype=self.dtype, name=f"sst_block_{i}",
             )(tokens, coords, mask, occ, canvas_in=canvas, cell2tok_in=c2t,
-              train=train)
+              host_win=host_win, train=train)
             stride *= int(blk.ENCODER.STRIDE)
             feature_maps[f"x_conv{i+1}"] = canvas
             occs[f"x_conv{i+1}"] = occ
@@ -735,6 +776,10 @@ class SPTBackboneMAE(nn.Module):
             "pillar_coords": coords_c,
             "pillar_mask": kept_valid,
         }
+        # loader-precomputed window plans for the kept-token pyramid
+        # (ops.window_host.host_joint_plans over the same compaction order)
+        sub_dict.update({k: v for k, v in batch_dict.items()
+                         if k.startswith(("host_win", "host_stage"))})
         dec_idx = dec_valid = None
         if compact_dec:
             loss_sel = (mae_mask > 0) & pillar_mask  # (B, M) bool

@@ -225,11 +225,26 @@ def nms_bev(boxes, scores, thresh, pre_maxsize, post_maxsize, valid=None,
     if n >= (1 << 17):
         # XLA's TPU TopkEmitter asserts out ("TransformWindow: Loop will
         # not make progress") on very wide 1D top_k (seen at n=321408, the
-        # KITTI anchor count); a full sort_key_val + slice is exact and
-        # compiles fine (~ms at this size)
-        neg, order = jax.lax.sort_key_val(
-            -masked_scores, jnp.arange(n, dtype=jnp.int32))
-        top_scores, order = -neg[:k], order[:k]
+        # KITTI anchor count).  EXACT two-stage top-k instead of a full
+        # (N,) sort_key_val (the sort dominated batch-1 detect latency):
+        # chunk rows stay under the emitter limit, every chunk keeps its
+        # own top-k, and the global top-k of the k*chunks survivors is
+        # exact because no dropped element can outrank k keepers of its
+        # own chunk.
+        chunk = 1 << 16
+        n_pad = -(-n // chunk) * chunk
+        pad_s = jnp.full((n_pad - n,), -jnp.inf, masked_scores.dtype)
+        s2 = jnp.concatenate([masked_scores, pad_s]).reshape(-1, chunk)
+        kc = min(k, chunk)
+        cs, ci = jax.lax.top_k(s2, kc)  # (nc, kc)
+        base = (jnp.arange(s2.shape[0], dtype=jnp.int32) * chunk)[:, None]
+        cand_idx = (ci + base).reshape(-1)
+        cand_s = cs.reshape(-1)
+        if cand_s.shape[0] > k:
+            top_scores, pos = jax.lax.top_k(cand_s, k)
+            order = cand_idx[pos]
+        else:
+            top_scores, order = cand_s, cand_idx
     else:
         top_scores, order = jax.lax.top_k(masked_scores, k)
     top_boxes = boxes[order]

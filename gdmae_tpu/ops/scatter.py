@@ -113,11 +113,14 @@ def _segment_max_bwd(num_segments, indices_are_sorted, res, g):
             is_max, (g / jnp.maximum(num, 1))[segment_ids], 0
         ).astype(values.dtype)
         return gv, np.zeros(segment_ids.shape, dtype=jax.dtypes.float0)
-    if indices_are_sorted and mode != "minscatter":
-        # sorted-segment fast path: the first max within each contiguous run
-        # is the element whose within-run inclusive count of maxima is 1 —
-        # ONE native cumsum + a row gather at run starts, no (N,C) i32
-        # segment-min scatter (TPU scatters serialize per update)
+    if indices_are_sorted and mode == "sorted":
+        # sorted-segment alternative: the first max within each contiguous
+        # run is the element whose within-run inclusive count of maxima is
+        # 1 — ONE native cumsum + a row gather at run starts, no (N,C) i32
+        # segment-min scatter.  Measured NEUTRAL vs the segment-min form on
+        # v5e (216.0 vs 213.6 ms full step at ~9 ms probes, r4 sweep), so
+        # the simpler scatter form below stays the default; kept as an
+        # opt-in (GDMAE_SEGMAX_BWD=sorted) for chips where scatters hurt
         i_n = jnp.arange(n, dtype=jnp.int32)
         new_run = jnp.concatenate(
             [jnp.ones((1,), bool), segment_ids[1:] != segment_ids[:-1]])

@@ -1,5 +1,6 @@
 """Rotated IoU / NMS vs numpy oracles (rasterization + python greedy)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from gdmae_tpu.ops import iou_nms
@@ -133,3 +134,29 @@ def test_nms_blocked_path_matches_oracle():
            if m]
     expect = oracle_nms(boxes, scores, 0.15)
     assert got == expect
+
+
+def test_nms_two_stage_topk_large_n():
+    """n >= 2^17 takes the chunked exact top-k path (XLA's TPU TopkEmitter
+    rejects very wide 1D top_k): selection must equal the global top-k,
+    including cross-chunk ties resolved in index order."""
+    from gdmae_tpu.ops import iou_nms
+
+    rng = np.random.RandomState(0)
+    n = (1 << 17) + 12345
+    boxes = np.zeros((n, 7), np.float32)
+    # spread boxes far apart so nothing suppresses
+    boxes[:, 0] = (np.arange(n) % 1024) * 10.0
+    boxes[:, 1] = (np.arange(n) // 1024) * 10.0
+    boxes[:, 3:6] = 1.0
+    scores = rng.rand(n).astype(np.float32)
+    scores[5] = scores[70000] = scores[131072 + 99] = 0.5  # cross-chunk ties
+    k = 64
+    keep_idx, keep_mask, keep_scores = jax.jit(
+        lambda b, s: iou_nms.nms_bev(b, s, 0.5, k, k)
+    )(jnp.asarray(boxes), jnp.asarray(scores))
+    assert bool(keep_mask.all())
+    order = np.argsort(-scores, kind="stable")[:k]
+    np.testing.assert_array_equal(np.asarray(keep_idx), order)
+    np.testing.assert_allclose(np.asarray(keep_scores), scores[order],
+                               rtol=1e-6)

@@ -356,6 +356,17 @@ def main():
             float(b3d.MASK_CONFIG.RATIO), int(b3d.MASK_CONFIG.NUM_GT_POINTS),
             mae_dec_cap(b3d, meta.max_pillars), np.random.default_rng(0))
         batch.update({k: jnp.asarray(v) for k, v in host.items()})
+        if (os.environ.get("GDMAE_BENCH_HOST_PLANS", "1") != "0"
+                and os.environ.get("GDMAE_BENCH_HOST_PIL", "1") != "0"
+                and b3d.get("TPU_WINDOW_MODE") == "joint"
+                and not b3d.get("TPU_ABLATE")):
+            from gdmae_tpu.ops.window_host import mae_host_plans
+            plans = mae_host_plans(
+                b3d, np.asarray(batch["host_pillar_coords"]),
+                np.asarray(batch["host_pillar_mask"]),
+                host["host_mae_mask"],
+                (int(meta.grid_size[1]), int(meta.grid_size[0])))
+            batch.update({k: jnp.asarray(v) for k, v in plans.items()})
     params, batch_stats = train_lib.init_model(model, batch, seed=0)
     if "sgd" in variants:
         import optax

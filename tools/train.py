@@ -168,6 +168,19 @@ def main():
             float(b3d.MASK_CONFIG.RATIO),
             int(b3d.MASK_CONFIG.NUM_GT_POINTS),
             mae_dec_cap(b3d, meta.max_pillars), host_mae_rng)))
+        if (b3d.get("TPU_WINDOW_MODE") == "joint"
+                and b3d.get("TPU_JOINT_BUDGETS") is not None
+                and host_prep_fns and len(host_prep_fns) == 2
+                and bool(b3d.get("TPU_HOST_WINDOW_PLANS", True))):
+            # window plans on host too (ops.window_host, ~32 ms/step
+            # in-graph); needs the pillar tables + mae mask from the two
+            # fns above
+            from gdmae_tpu.ops.window_host import mae_host_plans
+
+            host_prep_fns.append(lambda bt: bt.update(mae_host_plans(
+                b3d, bt["host_pillar_coords"], bt["host_pillar_mask"],
+                bt["host_mae_mask"],
+                (int(meta.grid_size[1]), int(meta.grid_size[0])))))
 
     def host_prep(bt):
         for fn in host_prep_fns:
