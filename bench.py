@@ -129,7 +129,8 @@ def main():
             from gdmae_tpu.datasets.processor.host_pillarize import (
                 mae_host_targets,
             )
-            from gdmae_tpu.models.backbones_3d.spt_backbone import mae_dec_cap
+            from gdmae_tpu.models.backbones_3d.spt_backbone import (
+                mae_dec_cap, mae_enc_cap)
             b3d = cfg.MODEL.BACKBONE_3D
             host = mae_host_targets(
                 pts, pmask,
@@ -138,7 +139,9 @@ def main():
                 float(b3d.MASK_CONFIG.RATIO),
                 int(b3d.MASK_CONFIG.NUM_GT_POINTS),
                 mae_dec_cap(b3d, meta.max_pillars),
-                np.random.default_rng(0))
+                np.random.default_rng(0),
+                m_enc=mae_enc_cap(b3d, meta.max_pillars),
+                tables=(batch if "host_pillar_start" in batch else None))
             batch.update({k: jnp.asarray(v) for k, v in host.items()})
             # window plans on HOST too (ops.window_host): index-only work
             # that cost ~32 ms/step in-graph (r4 sweep noattn - noplans)
@@ -350,12 +353,23 @@ def main():
         cmd = [sys.executable, str(REPO / "tools/train.py"),
                "--cfg_file", str(REPO / "tools/cfgs/kitti_models/gd_mae_ssl.yaml"),
                "--synthetic", str(n_scans), "--batch_size", "16",
-               "--epochs", "1", "--workers", "4",
+               "--epochs", "1", "--workers", "2",
                "--extra_tag", "bench_sustained",
                # never save: a leftover ckpt would make the next bench run
                # auto-resume past its only epoch and skip the measurement
                "--ckpt_save_interval", "999",
-               "--bench_json", str(sus_path)]
+               "--bench_json", str(sus_path),
+               # this dev VM has ONE cpu core: the numpy host pipeline
+               # (MAE targets + window plans, ~1 s/batch/core) cannot keep
+               # pace with the 177 ms device step, so the sustained run
+               # moves the index building back in-graph (the host/device
+               # split is per-deployment config; real TPU hosts have
+               # dozens of loader cores per chip — PERFORMANCE.md r4).
+               # Padding matches the headline bench workload.
+               "--set", "MODEL.BACKBONE_3D.TPU_HOST_MAE_TARGETS", "False",
+               "MODEL.BACKBONE_3D.TPU_HOST_WINDOW_PLANS", "False",
+               "DATA_CONFIG.TPU_PADDING.MAX_POINTS", "16384",
+               "DATA_CONFIG.TPU_PADDING.MAX_PILLARS", "8192"]
         try:
             r = subprocess.run(cmd, timeout=1800, capture_output=True,
                                text=True)

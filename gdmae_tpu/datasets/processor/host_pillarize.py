@@ -127,7 +127,8 @@ def pillarize_batch_np(points, point_mask, pc_range, voxel_size, grid_size,
 
 
 def mae_host_targets(points, point_mask, pc_range, voxel_size, grid_size,
-                     max_pillars, mask_ratio, num_gt, m_dec, rng):
+                     max_pillars, mask_ratio, num_gt, m_dec, rng,
+                     m_enc=None, tables=None):
     """Draw the MAE mask and group the masked pillars' GT point sets on host.
 
     Mirrors the device path exactly: the mask keeps
@@ -143,21 +144,43 @@ def mae_host_targets(points, point_mask, pc_range, voxel_size, grid_size,
         mask_ratio / num_gt: MODEL.BACKBONE_3D.MASK_CONFIG values.
         m_dec: static decode capacity (TPU_MAE_DEC_CAP or its default).
         rng: ``np.random.Generator`` or ``np.random.RandomState``.
+        tables: optional dict from :func:`pillarize_batch_np` — ``points``
+            must then be the SORTED points it returned; skips the internal
+            re-pillarization.
     Returns:
         dict of batch arrays: ``host_mae_mask`` (B, M) float32 (1 =
-        masked), ``host_mae_gt_points`` (B, m_dec, num_gt, 3) float32,
+        masked), ``host_mae_gt_rel`` (B, m_dec, num_gt, 3) float16 —
+        GT points MINUS their pillar center (the exact quantity the
+        chamfer loss consumes, reference spt_backbone_mae.py:69-72; the
+        ±few-meter in-pillar offsets fit f16 at ≲5 mm, and shipping f16
+        quarters the per-step H2D bytes of the dominant batch tensor),
         ``host_mae_gt_mask`` (B, m_dec, num_gt) bool.
     """
     b, n = points.shape[0], points.shape[1]
     m = int(max_pillars)
+    vx, vy, vz = (float(voxel_size[0]), float(voxel_size[1]),
+                  float(voxel_size[2]))
+    x0, y0, z0 = (float(pc_range[0]), float(pc_range[1]),
+                  float(pc_range[2]))
     mask_out = np.ones((b, m), np.float32)
-    gt_out = np.zeros((b, m_dec, num_gt, 3), np.float32)
+    gt_rel_out = np.zeros((b, m_dec, num_gt, 3), np.float16)
     gt_mask_out = np.zeros((b, m_dec, num_gt), bool)
+    dec_idx_out = np.full((b, m_dec), m, np.int32)
+    keep_idx_out = (np.full((b, m_enc), m, np.int32)
+                    if m_enc is not None else None)
     uniform = rng.random if hasattr(rng, "random") else rng.random_sample
+    kk = np.arange(num_gt, dtype=np.int64)[None, :]
 
     for s in range(b):
-        res = pillarize_np(points[s], point_mask[s], pc_range, voxel_size,
-                           grid_size, m)
+        if tables is not None:
+            res = {"pillar_mask": tables["host_pillar_mask"][s],
+                   "pillar_start": tables["host_pillar_start"][s],
+                   "pillar_count": tables["host_pillar_count"][s],
+                   "pillar_coords": tables["host_pillar_coords"][s],
+                   "order": np.arange(n, dtype=np.int64)}
+        else:
+            res = pillarize_np(points[s], point_mask[s], pc_range,
+                               voxel_size, grid_size, m)
         valid = res["pillar_mask"]
         n_valid = int(valid.sum())
         len_keep = int(n_valid * (1.0 - mask_ratio))
@@ -169,14 +192,35 @@ def mae_host_targets(points, point_mask, pc_range, voxel_size, grid_size,
         mask_out[s, keep] = 0.0
 
         dec_slots = np.nonzero(valid & ~keep)[0][:m_dec]
+        d = len(dec_slots)
+        dec_idx_out[s, :d] = dec_slots
+        if keep_idx_out is not None:
+            ks = np.nonzero(keep)[0][:m_enc]
+            keep_idx_out[s, :len(ks)] = ks
         sorted_pts = points[s, res["order"], :3].astype(np.float32)
-        for j, slot in enumerate(dec_slots):
-            st = int(res["pillar_start"][slot])
-            cnt = min(int(res["pillar_count"][slot]), num_gt)
-            gt_out[s, j, :cnt] = sorted_pts[st:st + cnt]
-            gt_mask_out[s, j, :cnt] = True
-    return {
+        starts = res["pillar_start"][dec_slots].astype(np.int64)  # (d,)
+        counts = np.minimum(res["pillar_count"][dec_slots], num_gt)
+        rows = np.clip(starts[:, None] + kk, 0, n - 1)  # (d, num_gt)
+        mrow = kk < counts[:, None]
+        g = sorted_pts[rows]  # (d, num_gt, 3)
+        coords = res["pillar_coords"][dec_slots]  # (d, 2|3) [.., iy, ix]
+        centers = np.stack([
+            (coords[:, -1] + 0.5) * vx + x0,
+            (coords[:, -2] + 0.5) * vy + y0,
+            np.full(d, 0.5 * vz + z0, np.float32),
+        ], axis=-1).astype(np.float32)  # (d, 3)
+        gt_rel_out[s, :d] = ((g - centers[:, None, :])
+                             * mrow[..., None]).astype(np.float16)
+        gt_mask_out[s, :d] = mrow
+    out = {
         "host_mae_mask": mask_out,
-        "host_mae_gt_points": gt_out,
+        "host_mae_gt_rel": gt_rel_out,
         "host_mae_gt_mask": gt_mask_out,
+        # compaction indices (device otherwise re-derives them with two
+        # (B, M)-wide sort-based nonzero calls): ascending slot order,
+        # fill M past the count — identical to jnp.nonzero(size=..., fill)
+        "host_mae_dec_idx": dec_idx_out,
     }
+    if keep_idx_out is not None:
+        out["host_mae_keep_idx"] = keep_idx_out
+    return out

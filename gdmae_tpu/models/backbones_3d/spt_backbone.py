@@ -568,7 +568,7 @@ class SPTBackbone(nn.Module):
             host_win = None
             if (f"host_win{i}s0_tok_src" in batch_dict
                     and str(cfg.get("TPU_WINDOW_MODE", "bucket")) == "joint"
-                    and not cfg.get("TPU_ABLATE", ())):
+                    and "plans" not in cfg.get("TPU_ABLATE", ())):
                 host_win = {
                     "plans": [
                         window_ops.JointPlan(
@@ -685,6 +685,16 @@ def mae_dec_cap(model_cfg, max_pillars):
         -(-int(max_pillars * ratio + 1) // 8) * 8))
 
 
+def mae_enc_cap(model_cfg, max_pillars):
+    """Static kept-token capacity of the masked-compact encode (shared with
+    loaders building host keep-compaction indices)."""
+    cfg = as_easy(model_cfg)
+    ratio = float(cfg.MASK_CONFIG.RATIO)
+    return int(cfg.get(
+        "TPU_MAE_TOKEN_CAP",
+        -(-int(max_pillars * (1.0 - ratio) + 1) // 8) * 8))
+
+
 class SPTBackboneMAE(nn.Module):
     """Reference SPTBackboneMAE (spt_backbone_mae.py): mask pillars, encode
     the kept ones through the SST pyramid, densify through the generative
@@ -736,12 +746,12 @@ class SPTBackboneMAE(nn.Module):
         # reference encodes only kept pillars through spconv,
         # spt_backbone_mae.py:102-113).  random_masking keeps exactly
         # floor(n_valid*(1-ratio)) pillars, so this capacity never drops.
-        m_enc = int(cfg.get(
-            "TPU_MAE_TOKEN_CAP",
-            -(-int(m * (1.0 - mask_ratio) + 1) // 8) * 8))
-        kept_idx = jax.vmap(
-            lambda k: jnp.nonzero(k, size=m_enc, fill_value=m)[0]
-        )(kept)  # (B, m_enc)
+        m_enc = mae_enc_cap(cfg, m)
+        kept_idx = batch_dict.get("host_mae_keep_idx")
+        if kept_idx is None or kept_idx.shape[1] != m_enc:
+            kept_idx = jax.vmap(
+                lambda k: jnp.nonzero(k, size=m_enc, fill_value=m)[0]
+            )(kept)  # (B, m_enc)
         kept_valid = kept_idx < m
         kept_idx_c = jnp.minimum(kept_idx, m - 1)
         tokens_c = jnp.take_along_axis(
@@ -784,9 +794,11 @@ class SPTBackboneMAE(nn.Module):
         if compact_dec:
             loss_sel = (mae_mask > 0) & pillar_mask  # (B, M) bool
             m_dec = mae_dec_cap(cfg, m)
-            dec_idx = jax.vmap(
-                lambda v: jnp.nonzero(v, size=m_dec, fill_value=m)[0]
-            )(loss_sel)  # (B, m_dec), ascending => coords stay raster-sorted
+            dec_idx = batch_dict.get("host_mae_dec_idx")
+            if dec_idx is None or dec_idx.shape[1] != m_dec:
+                dec_idx = jax.vmap(
+                    lambda v: jnp.nonzero(v, size=m_dec, fill_value=m)[0]
+                )(loss_sel)  # (B, m_dec), ascending: coords stay sorted
             dec_valid = dec_idx < m
             dec_idx_c = jnp.minimum(dec_idx, m - 1)
             dec_coords = jnp.take_along_axis(
@@ -812,13 +824,16 @@ class SPTBackboneMAE(nn.Module):
             else:
                 feats = gather_canvas_at(
                     spatial_features, coords, (ny, nx), mask=dec_valid)
-            host_gt = batch_dict.get("host_mae_gt_points")
-            if host_gt is not None:
+            host_rel = batch_dict.get("host_mae_gt_rel")
+            gt_points = None
+            if host_rel is not None:
                 # GT sets precomputed by the loader on HOST in the same
-                # (ascending-slot) decode order (host_pillarize.py); GT
-                # carries no gradient, so this removes the grouping's
-                # device data movement entirely
-                gt_points = host_gt
+                # (ascending-slot) decode order (host_pillarize.py),
+                # already pillar-center-RELATIVE (the quantity the chamfer
+                # consumes) and shipped f16: GT carries no gradient, the
+                # in-pillar offsets fit f16 at ≲5 mm, and this quarters
+                # the step's dominant H2D tensor
+                norm_gt_direct = host_rel.astype(jnp.float32)
                 gt_mask = batch_dict["host_mae_gt_mask"] & \
                     dec_valid[..., None]
             elif bool(cfg.get("TPU_MAE_WRAP_GT", False)):
@@ -885,7 +900,10 @@ class SPTBackboneMAE(nn.Module):
             ],
             axis=-1,
         )
-        norm_gt = gt_points - centers[:, :, None, :]
+        if gt_points is None:  # host path shipped center-relative GT
+            norm_gt = norm_gt_direct
+        else:
+            norm_gt = gt_points - centers[:, :, None, :]
 
         batch_dict["mae_pred_points"] = pred
         batch_dict["mae_gt_points"] = norm_gt

@@ -31,7 +31,7 @@ def _box_corners_local(dx, dy):
     ], axis=-2)  # (..., 4, 2)
 
 
-def _clip_halfplane(xs, ys, count, axis, sign, bound):
+def _clip_halfplane(xs, ys, count, axis, sign, bound, max_in=8):
     """Clip an unrolled 8-vertex polygon (``xs``/``ys``: length-8 Python
     lists of scalars, ``count`` valid) against sign * coord[axis] <= bound.
 
@@ -40,8 +40,17 @@ def _clip_halfplane(xs, ys, count, axis, sign, bound):
     hard-crashed the runtime at 4096x4096, and an 8x8 one-hot-MATMUL
     compaction lowered to 16.7M MXU-padded (8,8) dots ≈ 2.9 s for one
     4096^2 IoU matrix.  Here every op is elementwise, so the whole
-    clipping pipeline fuses into one VPU loop under the pair vmap."""
-    f = [sign * (xs[i] if axis == 0 else ys[i]) - bound for i in range(8)]
+    clipping pipeline fuses into one VPU loop under the pair vmap.
+
+    ``max_in``: static bound on the input vertex count — clipping a 4-gon
+    by the k-th half-plane has at most 4+k vertices, so the edge loop and
+    the emit-slot select chains shrink accordingly (the select chains are
+    the dominant VPU cost of the whole IoU: ~35% fewer ops than the
+    fixed-8 form)."""
+    max_in = min(max_in, 8)
+    max_out = min(max_in + 1, 8)
+    f = [sign * (xs[i] if axis == 0 else ys[i]) - bound
+         for i in range(max_in)]
     in_v = [fi <= 0 for fi in f]
 
     # running emit count as a traced scalar
@@ -50,15 +59,15 @@ def _clip_halfplane(xs, ys, count, axis, sign, bound):
     acc_x = [zero] * 8
     acc_y = [zero] * 8
 
-    def place(slot_vals_x, slot_vals_y, pos, emit):
-        for j in range(8):
+    def place(slot_vals_x, slot_vals_y, pos, emit, hi):
+        for j in range(min(hi, max_out)):
             hit = emit & (pos == j)
             acc_x[j] = jnp.where(hit, slot_vals_x, acc_x[j])
             acc_y[j] = jnp.where(hit, slot_vals_y, acc_y[j])
 
-    for i in range(8):
+    for i in range(max_in):
         valid_edge = count > i
-        j = 0 if i == 7 else i + 1
+        j = 0 if i == max_in - 1 else i + 1
         # next valid vertex (wraps to 0 at the ring end)
         wrap = count <= i + 1
         wx = jnp.where(wrap, xs[0], xs[j])
@@ -73,9 +82,11 @@ def _clip_halfplane(xs, ys, count, axis, sign, bound):
 
         emit_v = in_v[i] & valid_edge
         emit_i = (in_v[i] != in_w) & valid_edge
-        place(xs[i], ys[i], offset, emit_v)
+        # emit positions before edge i are bounded by 2i (each edge emits
+        # at most 2 vertices)
+        place(xs[i], ys[i], offset, emit_v, 2 * i + 1)
         pos_i = offset + emit_v.astype(offset.dtype)
-        place(ix, iy, pos_i, emit_i)
+        place(ix, iy, pos_i, emit_i, 2 * i + 2)
         offset = pos_i + emit_i.astype(offset.dtype)
 
     return acc_x, acc_y, offset
@@ -103,10 +114,10 @@ def _pair_overlap(box_a, box_b):
     count = jnp.asarray(4, jnp.int32)
 
     hx, hy = box_b[3] / 2, box_b[4] / 2
-    xs, ys, count = _clip_halfplane(xs, ys, count, 0, 1.0, hx)
-    xs, ys, count = _clip_halfplane(xs, ys, count, 0, -1.0, hx)
-    xs, ys, count = _clip_halfplane(xs, ys, count, 1, 1.0, hy)
-    xs, ys, count = _clip_halfplane(xs, ys, count, 1, -1.0, hy)
+    xs, ys, count = _clip_halfplane(xs, ys, count, 0, 1.0, hx, max_in=4)
+    xs, ys, count = _clip_halfplane(xs, ys, count, 0, -1.0, hx, max_in=5)
+    xs, ys, count = _clip_halfplane(xs, ys, count, 1, 1.0, hy, max_in=6)
+    xs, ys, count = _clip_halfplane(xs, ys, count, 1, -1.0, hy, max_in=7)
 
     # shoelace over the valid ring: edge i -> next valid (wraps to 0);
     # invalid slots contribute 0

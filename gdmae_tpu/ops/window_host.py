@@ -168,20 +168,103 @@ def _joint_plan_single_np(occ_flat, grid_hw, window, shift, drop_specs,
 
 def build_joint_plan_np(occupancy, grid_hw, window, shift, drop_specs,
                         budget):
-    """numpy twin of window.build_joint_plan: dict of batched arrays."""
+    """numpy twin of window.build_joint_plan: dict of batched arrays.
+
+    Batch-vectorized (the loader runs this 6x per batch — 3 stages x 2
+    shifts; the per-sample python loop measured ~0.4 s/batch-16)."""
     ny, nx = grid_hw
+    wy, wx = window
+    sy, sx = shift
+    budget = int(budget)
     b = occupancy.shape[0]
-    outs = [_joint_plan_single_np(occupancy[bi].reshape(ny * nx), grid_hw,
-                                  window, shift, drop_specs, int(budget))
-            for bi in range(b)]
-    return dict(
-        tok_src=np.stack([o["tok_src"] for o in outs]),
-        tok_valid=np.stack([o["tok_valid"] for o in outs]),
-        tok_incell=np.stack([o["tok_incell"] for o in outs]),
-        wid=np.stack([o["wid"] for o in outs]),
-        inv_idx=np.stack([o["inv_idx"] for o in outs]),
-        overflow=np.int32(sum(o["overflow"] for o in outs)),
-    )
+    occ = occupancy.reshape(b, ny, nx)
+    nwy = -(-(ny + sy) // wy)
+    nwx = -(-(nx + sx) // wx)
+    pad_y = nwy * wy - ny - sy
+    pad_x = nwx * wx - nx - sx
+    occ_pad = np.pad(occ, ((0, 0), (sy, pad_y), (sx, pad_x)))
+    g = nwy * nwx
+    cells = wy * wx
+
+    occ_win = occ_pad.reshape(b, nwy, wy, nwx, wx).transpose(0, 1, 3, 2, 4)
+    occ_win = occ_win.reshape(b, g, cells)
+    counts = occ_win.sum(axis=-1).astype(np.int32)          # (B, G)
+    c_occ = np.cumsum(occ_win.astype(np.int32), axis=-1)    # (B, G, cells)
+    shift_bits = max(int(np.ceil(np.log2(max(cells, 2)))), 1)
+    t_ids = np.arange(cells, dtype=np.int32)
+    key = ((np.logical_not(occ_win).astype(np.int32) << shift_bits)
+           | t_ids[None, None, :])
+    comp = (np.sort(key, axis=-1) & ((1 << shift_bits) - 1)).astype(np.int32)
+
+    t_ls = [min(spec.max_tokens, cells) for spec in drop_specs]
+    assert all(t > 0 and (t & (t - 1)) == 0 and t <= 128 for t in t_ls)
+    t_w = np.zeros((b, g), np.int32)
+    for spec, t_l in zip(drop_specs, t_ls):
+        in_range = (counts >= max(spec.lower, 1)) & (counts < spec.upper)
+        t_w = np.where(in_range, t_l, t_w)
+
+    win_bits = max(int(np.ceil(np.log2(max(g, 2)))), 1)
+    tmax = max(t_ls) if t_ls else cells
+    sort_key = ((tmax + 1 - t_w) << win_bits) \
+        | np.arange(g, dtype=np.int32)[None, :]
+    skey = np.sort(sort_key, axis=-1)
+    sorted_win = (skey & ((1 << win_bits) - 1)).astype(np.int32)  # (B, G)
+    sorted_t = (tmax + 1 - (skey >> win_bits)).astype(np.int32)
+    off = np.cumsum(sorted_t, axis=-1) - sorted_t
+    fits = (sorted_t > 0) & (off + sorted_t <= budget)
+    overflow = int(np.sum((sorted_t > 0) & np.logical_not(fits)))
+
+    b_idx = np.arange(b)[:, None]
+    cnt_s = np.take_along_axis(counts, sorted_win, axis=1)      # (B, G)
+    cell_s = comp[b_idx, sorted_win]                             # (B, G, cells)
+    col = np.arange(cells, dtype=np.int32)[None, None, :]
+    tok_ok = fits[..., None] & (col < np.minimum(cnt_s, sorted_t)[..., None])
+    slot = np.where(tok_ok, off[..., None] + col, budget).reshape(b, -1)
+
+    iy = cell_s // wx
+    ix = cell_s % wx
+    y = (sorted_win // nwx)[..., None] * wy + iy - sy
+    x = (sorted_win % nwx)[..., None] * wx + ix - sx
+    flat_cell = (y * nx + x).reshape(b, -1)
+    incell = cell_s.reshape(b, -1)
+    cell_bits = max(int(np.ceil(np.log2(ny * nx + 1))), 1)
+    assert cell_bits + int(np.ceil(np.log2(cells + 1))) < 32
+    packed_a = (incell.astype(np.int64) << cell_bits) | flat_cell
+    buf_a = np.full((b, budget + 1), -1, np.int64)
+    buf_a[b_idx, slot] = packed_a        # dups only at the trash slot
+    buf_a = buf_a[:, :-1]
+    wid_src = np.broadcast_to(
+        np.arange(g, dtype=np.int32)[None, :, None], (b, g, cells)
+    ).reshape(b, -1)
+    wid = np.full((b, budget + 1), -1, np.int32)
+    wid[b_idx, slot] = wid_src
+    wid = wid[:, :-1]
+
+    tok_valid = buf_a >= 0
+    tok_src = np.where(tok_valid, buf_a & ((1 << cell_bits) - 1),
+                       ny * nx).astype(np.int32)
+    tok_incell = np.where(tok_valid, buf_a >> cell_bits, 0).astype(np.int32)
+
+    pos_of_win = np.zeros((b, g), np.int32)
+    pos_of_win[b_idx, sorted_win] = np.arange(g, dtype=np.int32)[None, :]
+    off_orig = np.take_along_axis(off, pos_of_win, axis=1)
+    t_orig = np.take_along_axis(sorted_t, pos_of_win, axis=1)
+    fits_orig = np.take_along_axis(fits.astype(np.int8), pos_of_win,
+                                   axis=1).astype(bool)
+    cy = np.arange(ny, dtype=np.int32)[:, None] + sy
+    cx = np.arange(nx, dtype=np.int32)[None, :] + sx
+    win_of_cell = ((cy // wy) * nwx + (cx // wx)).reshape(ny * nx)
+    incell_c = ((cy % wy) * wx + (cx % wx)).reshape(ny * nx)
+    rank_in_win = c_occ.reshape(b, g * cells)[
+        :, win_of_cell * cells + incell_c] - 1
+    covered = (occ.reshape(b, ny * nx) & fits_orig[:, win_of_cell]
+               & (rank_in_win < t_orig[:, win_of_cell]))
+    inv = np.where(covered,
+                   off_orig[:, win_of_cell] + rank_in_win,
+                   budget).astype(np.int32)
+
+    return dict(tok_src=tok_src, tok_valid=tok_valid, tok_incell=tok_incell,
+                wid=wid, inv_idx=inv, overflow=np.int32(overflow))
 
 
 def joint_plan_to_tokens_np(plan, cell2tok, tok_cell, m):

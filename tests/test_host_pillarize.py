@@ -76,12 +76,23 @@ def test_mae_host_targets_match_device_grouping():
         sorted_pts = jnp.asarray(pts[s])[res.point_order]
         full, full_mask = scatter.group_points_padded(sorted_pts, res, num_gt)
         dec = np.nonzero((mae_mask[s] > 0) & valid)[0][:m_dec]
+        # host GT ships pillar-center-RELATIVE f16 (the exact quantity the
+        # chamfer consumes; ±few m offsets -> f16 atol ≲5e-3)
+        coords = np.asarray(res.pillar_coords)[dec]
+        centers = np.stack([
+            (coords[:, 1] + 0.5) * VOXEL[0] + PC_RANGE[0],
+            (coords[:, 0] + 0.5) * VOXEL[1] + PC_RANGE[1],
+            np.full(len(dec), 0.5 * VOXEL[2] + PC_RANGE[2]),
+        ], axis=-1).astype(np.float32)
+        fm = np.asarray(full_mask)[dec]
+        expect = (np.asarray(full)[dec] - centers[:, None, :]) * fm[..., None]
         np.testing.assert_allclose(
-            host["host_mae_gt_points"][s, : len(dec)],
-            np.asarray(full)[dec], rtol=0, atol=0)
+            host["host_mae_gt_rel"][s, : len(dec)].astype(np.float32),
+            expect, rtol=0, atol=6e-3)
         np.testing.assert_array_equal(
-            host["host_mae_gt_mask"][s, : len(dec)],
-            np.asarray(full_mask)[dec])
+            host["host_mae_gt_mask"][s, : len(dec)], fm)
+        np.testing.assert_array_equal(host["host_mae_dec_idx"][s, :len(dec)],
+                                      dec)
         # padding rows past the real decode count stay zero/false
         assert not host["host_mae_gt_mask"][s, len(dec):].any()
 

@@ -77,7 +77,8 @@ def test_mae_graph_identical_with_host_plans():
     from gdmae_tpu.runtime import train as train_lib
     from gdmae_tpu.datasets.processor.host_pillarize import (
         pillarize_batch_np, mae_host_targets)
-    from gdmae_tpu.models.backbones_3d.spt_backbone import mae_dec_cap
+    from gdmae_tpu.models.backbones_3d.spt_backbone import (
+        mae_dec_cap, mae_enc_cap)
 
     repo = Path(__file__).resolve().parent.parent
     cfg = cfg_from_yaml_file(
@@ -110,7 +111,8 @@ def test_mae_graph_identical_with_host_plans():
         pts_s, pmask_s, meta.point_cloud_range, meta.voxel_size,
         meta.grid_size, meta.max_pillars, float(b3d.MASK_CONFIG.RATIO),
         int(b3d.MASK_CONFIG.NUM_GT_POINTS),
-        mae_dec_cap(b3d, meta.max_pillars), np.random.default_rng(0))
+        mae_dec_cap(b3d, meta.max_pillars), np.random.default_rng(0),
+        m_enc=mae_enc_cap(b3d, meta.max_pillars))
     base = {"points": jnp.asarray(pts_s), "point_mask": jnp.asarray(pmask_s)}
     base.update({k: jnp.asarray(v) for k, v in tabs.items()})
     base.update({k: jnp.asarray(v) for k, v in host.items()})
@@ -125,7 +127,10 @@ def test_mae_graph_identical_with_host_plans():
             mutable=["batch_stats"])
         return out["loss"], out["mae_pred_points"]
 
-    l0, p0 = loss_of(dict(base))
+    # side A: device derives ALL indices itself (no host shortcuts)
+    batch_a = {k: v for k, v in base.items()
+               if k not in ("host_mae_dec_idx", "host_mae_keep_idx")}
+    l0, p0 = loss_of(batch_a)
 
     plans = wh.mae_host_plans(
         b3d, tabs["host_pillar_coords"], tabs["host_pillar_mask"],

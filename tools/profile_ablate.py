@@ -348,18 +348,20 @@ def main():
         from gdmae_tpu.datasets.processor.host_pillarize import (
             mae_host_targets,
         )
-        from gdmae_tpu.models.backbones_3d.spt_backbone import mae_dec_cap
+        from gdmae_tpu.models.backbones_3d.spt_backbone import (
+                mae_dec_cap, mae_enc_cap)
         b3d = cfg.MODEL.BACKBONE_3D
         host = mae_host_targets(
             pts, pmask, meta.point_cloud_range,
             meta.voxel_size, meta.grid_size, meta.max_pillars,
             float(b3d.MASK_CONFIG.RATIO), int(b3d.MASK_CONFIG.NUM_GT_POINTS),
-            mae_dec_cap(b3d, meta.max_pillars), np.random.default_rng(0))
+            mae_dec_cap(b3d, meta.max_pillars), np.random.default_rng(0),
+            m_enc=mae_enc_cap(b3d, meta.max_pillars))
         batch.update({k: jnp.asarray(v) for k, v in host.items()})
         if (os.environ.get("GDMAE_BENCH_HOST_PLANS", "1") != "0"
                 and os.environ.get("GDMAE_BENCH_HOST_PIL", "1") != "0"
                 and b3d.get("TPU_WINDOW_MODE") == "joint"
-                and not b3d.get("TPU_ABLATE")):
+                and "plans" not in b3d.get("TPU_ABLATE", ())):
             from gdmae_tpu.ops.window_host import mae_host_plans
             plans = mae_host_plans(
                 b3d, np.asarray(batch["host_pillar_coords"]),

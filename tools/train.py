@@ -102,18 +102,12 @@ def main():
     data_path = Path(cfg_.DATA_CONFIG.DATA_PATH)
     if not data_path.is_absolute():
         data_path = (REPO / "tools" / data_path).resolve()
-    dataset, dataloader, sampler = build_dataloader(
-        dataset_cfg=cfg_.DATA_CONFIG,
-        class_names=cfg_.CLASS_NAMES,
-        batch_size=batch_size,
-        root_path=data_path,
-        workers=args.workers,
-        logger=logger,
-        training=True,
-        total_epochs=total_epochs,
-        process_index=jax.process_index(),
-        process_count=jax.process_count(),
-    )
+    from gdmae_tpu.datasets import build_dataset, build_loader
+
+    dataset = build_dataset(
+        dataset_cfg=cfg_.DATA_CONFIG, class_names=cfg_.CLASS_NAMES,
+        root_path=data_path, training=True, logger=logger,
+        total_epochs=total_epochs)
 
     meta = DatasetMeta(
         class_names=cfg_.CLASS_NAMES,
@@ -158,16 +152,31 @@ def main():
         from gdmae_tpu.datasets.processor.host_pillarize import (
             mae_host_targets,
         )
-        from gdmae_tpu.models.backbones_3d.spt_backbone import mae_dec_cap
-        host_mae_rng = np.random.default_rng(
-            (0 if args.fix_random_seed else (int(time.time()) % 2 ** 20))
-            * 1000003 + jax.process_index())
-        host_prep_fns.append(lambda bt: bt.update(mae_host_targets(
-            bt["points"], bt["point_mask"], meta.point_cloud_range,
-            meta.voxel_size, meta.grid_size, meta.max_pillars,
-            float(b3d.MASK_CONFIG.RATIO),
-            int(b3d.MASK_CONFIG.NUM_GT_POINTS),
-            mae_dec_cap(b3d, meta.max_pillars), host_mae_rng)))
+        from gdmae_tpu.models.backbones_3d.spt_backbone import (
+                mae_dec_cap, mae_enc_cap)
+        # per-batch rng derived from a base seed + the batch's frame ids:
+        # the prep runs inside FORKED loader workers, where a shared
+        # Generator object would be duplicated and every worker would draw
+        # the same mask sequence
+        import zlib
+        base_seed = ((0 if args.fix_random_seed
+                      else (int(time.time()) % 2 ** 20))
+                     * 1000003 + jax.process_index())
+
+        def host_mae_fn(bt):
+            fid = "/".join(str(f) for f in bt.get("frame_id", ["0"]))
+            rng = np.random.default_rng(
+                (base_seed, zlib.crc32(fid.encode())))
+            bt.update(mae_host_targets(
+                bt["points"], bt["point_mask"], meta.point_cloud_range,
+                meta.voxel_size, meta.grid_size, meta.max_pillars,
+                float(b3d.MASK_CONFIG.RATIO),
+                int(b3d.MASK_CONFIG.NUM_GT_POINTS),
+                mae_dec_cap(b3d, meta.max_pillars), rng,
+                m_enc=mae_enc_cap(b3d, meta.max_pillars),
+                tables=(bt if "host_pillar_start" in bt else None)))
+
+        host_prep_fns.append(host_mae_fn)
         if (b3d.get("TPU_WINDOW_MODE") == "joint"
                 and b3d.get("TPU_JOINT_BUDGETS") is not None
                 and host_prep_fns and len(host_prep_fns) == 2
@@ -187,8 +196,17 @@ def main():
             fn(bt)
         return bt
 
-    # build example batch for init
-    example = host_prep(next(iter(dataloader)))
+    # the prep runs INSIDE the loader workers (collate-time): it
+    # parallelizes across --workers processes instead of serializing on
+    # the training loop
+    dataloader, sampler = build_loader(
+        dataset, batch_size, workers=args.workers, training=True,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        host_prep_fn=host_prep if host_prep_fns else None)
+
+    # build example batch for init (already prepped by the collate)
+    example = next(iter(dataloader))
     device_batch = {k: jnp.asarray(v) for k, v in example.items()
                     if isinstance(v, np.ndarray)}
     params, batch_stats = train_lib.init_model(model, device_batch)
@@ -229,6 +247,46 @@ def main():
 
     key = jax.random.PRNGKey(int(time.time()) % 2 ** 31)
     meter = common_utils.AverageMeter()
+
+    def prefetch_device_batches(depth=int(os.environ.get(
+            "GDMAE_PREFETCH_DEPTH", "2"))):
+        """Pipeline loader -> host_prep -> H2D against device compute.
+
+        A daemon thread runs the numpy host pipeline and FORCES the
+        device transfer (block_until_ready) before enqueueing, so the
+        main loop's step dispatch never blocks on either (measured on the
+        tunneled chip: dispatch was blocking ~1.2 s/step on synchronous
+        batch upload).  depth=2 keeps one batch in flight."""
+        import queue as _q
+        import threading
+
+        q = _q.Queue(maxsize=depth)
+        err = []
+
+        def producer():
+            try:
+                for b in dataloader:  # host_prep already ran in the workers
+                    db = {k: v for k, v in b.items()
+                          if isinstance(v, np.ndarray)}
+                    db = mesh_lib.shard_batch(db, mesh)
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), db)
+                    q.put(db)
+            except BaseException as e:  # surfaced in the main loop
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
     for epoch in range(start_epoch, total_epochs):
         dataset.set_epoch(epoch, total_epochs)
         if sampler is not None:
@@ -236,11 +294,7 @@ def main():
         t_end = time.perf_counter()
         sustained_t0 = None  # set after the compile step finishes
         sustained_scans = 0
-        for it, batch in enumerate(dataloader):
-            host_prep(batch)
-            device_batch = {k: v for k, v in batch.items()
-                            if isinstance(v, np.ndarray)}
-            device_batch = mesh_lib.shard_batch(device_batch, mesh)
+        for it, device_batch in enumerate(prefetch_device_batches()):
             data_time = time.perf_counter() - t_end
             key, sub = jax.random.split(key)
             state, metrics = pstep(state, device_batch, sub)
