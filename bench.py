@@ -353,7 +353,7 @@ def main():
         cmd = [sys.executable, str(REPO / "tools/train.py"),
                "--cfg_file", str(REPO / "tools/cfgs/kitti_models/gd_mae_ssl.yaml"),
                "--synthetic", str(n_scans), "--batch_size", "16",
-               "--epochs", "1", "--workers", "2",
+               "--epochs", "1", "--workers", "0",
                "--extra_tag", "bench_sustained",
                # never save: a leftover ckpt would make the next bench run
                # auto-resume past its only epoch and skip the measurement
@@ -371,8 +371,12 @@ def main():
                "DATA_CONFIG.TPU_PADDING.MAX_POINTS", "16384",
                "DATA_CONFIG.TPU_PADDING.MAX_PILLARS", "8192"]
         try:
+            env = dict(os.environ)
+            # core-starved dev VM: plain async loop + inline collate beat
+            # the prefetch thread + worker processes (PERFORMANCE.md r4)
+            env["GDMAE_PREFETCH_DEPTH"] = "0"
             r = subprocess.run(cmd, timeout=1800, capture_output=True,
-                               text=True)
+                               text=True, env=env)
             if sus_path.exists():
                 with open(sus_path) as f:
                     train_sustained = json.load(f)[

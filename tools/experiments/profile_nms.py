@@ -53,8 +53,10 @@ def main():
         noise = jax.random.uniform(key, (1,)) * 1e-9
         if which == "topk":
             s = jnp.asarray(scores) + noise
-            ms = jnp.where(jnp.ones((n,), bool), s, -jnp.inf)
             chunk = 1 << 16
+            n_pad = -(-n // chunk) * chunk
+            ms = jnp.concatenate(
+                [s, jnp.full((n_pad - n,), -jnp.inf, s.dtype)])
             s2 = ms.reshape(-1, chunk)
             cs, ci = jax.lax.top_k(s2, k)
             base = (jnp.arange(s2.shape[0], dtype=jnp.int32) * chunk)[:, None]
