@@ -296,7 +296,7 @@ def main():
         from gdmae_tpu.models.backbones_3d import spt_backbone as spt_mod2
         from gdmae_tpu.ops import window as window_mod
 
-        def fake_scatter(pf, coords, mask, grid_hw, sorted_cells=True):
+        def fake_scatter(pf, coords, mask, grid_hw, **kw):
             b, m, c = pf.shape
             ny, nx = grid_hw
             dep = (jnp.sum(pf.astype(jnp.float32))
@@ -304,13 +304,13 @@ def main():
             canvas = jnp.zeros((b, ny, nx, c), pf.dtype) + dep.astype(pf.dtype)
             return canvas, jnp.ones((b, ny, nx), bool)
 
-        def fake_gather(canvas, coords, grid_hw, mask=None):
+        def fake_gather(canvas, coords, grid_hw, mask=None, **kw):
             b, m, _ = coords.shape
             c = canvas.shape[-1]
             dep = jnp.mean(canvas.astype(jnp.float32)) * 1e-30
             return jnp.zeros((b, m, c), canvas.dtype) + dep.astype(canvas.dtype)
 
-        def fake_occ(coords, mask, grid_hw, sorted_cells=True):
+        def fake_occ(coords, mask, grid_hw, **kw):
             b = coords.shape[0]
             ny, nx = grid_hw
             return jnp.ones((b, ny, nx), bool)
