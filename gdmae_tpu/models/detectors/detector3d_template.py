@@ -268,11 +268,11 @@ class Detector3DTemplate(nn.Module):
             batch_dict["final_valid"] = valid
             return batch_dict
 
-        def per_sample(boxes_s, scores_s, labels_s):
+        def per_sample(boxes_s, scores_s, labels_s, k):
             valid = scores_s > score_thresh
             keep_idx, keep_mask, keep_scores = iou_nms.nms_bev(
                 boxes_s, scores_s, float(nms_cfg.NMS_THRESH),
-                int(nms_cfg.NMS_PRE_MAXSIZE), int(nms_cfg.NMS_POST_MAXSIZE),
+                k, int(nms_cfg.NMS_POST_MAXSIZE),
                 valid=valid,
             )
             safe = jnp.clip(keep_idx, 0)
@@ -283,7 +283,33 @@ class Detector3DTemplate(nn.Module):
                 keep_mask,
             )
 
-        fb, fs, fl, fm = jax.vmap(per_sample)(box_preds, scores, labels)
+        pre_k = int(nms_cfg.NMS_PRE_MAXSIZE)
+        post_k = int(nms_cfg.NMS_POST_MAXSIZE)
+        cascade_k = int(pp.get("TPU_NMS_CASCADE_K", 1024))
+        import functools as _ft
+
+        run_full = jax.vmap(_ft.partial(per_sample, k=pre_k))
+        if (cascade_k and post_k <= cascade_k < pre_k and score_thresh > 0
+                and scores.shape[-1] > cascade_k):
+            # EXACT latency cascade (TPU static-shape extension; disable
+            # with POST_PROCESSING.TPU_NMS_CASCADE_K: 0): the reference NMS
+            # runs on the DYNAMIC candidate set above SCORE_THRESH
+            # (model_nms_utils.py:9-13) — usually a few hundred boxes on
+            # real scans, while the static path always pays the full
+            # NMS_PRE_MAXSIZE^2 rotated-IoU matrix.  When every sample's
+            # above-threshold count fits cascade_k, the top-cascade_k
+            # candidate set provably contains the reference's whole
+            # candidate set, so the small branch is bit-identical; the
+            # lax.cond sits OUTSIDE the vmap (inside, batching would turn
+            # it into a select that executes both branches).
+            counts = jnp.sum(scores > score_thresh, axis=-1)
+            run_small = jax.vmap(_ft.partial(per_sample, k=cascade_k))
+            fb, fs, fl, fm = jax.lax.cond(
+                jnp.max(counts) <= cascade_k,
+                lambda: run_small(box_preds, scores, labels),
+                lambda: run_full(box_preds, scores, labels))
+        else:
+            fb, fs, fl, fm = run_full(box_preds, scores, labels)
         batch_dict["final_boxes"] = fb
         batch_dict["final_scores"] = fs
         batch_dict["final_labels"] = fl

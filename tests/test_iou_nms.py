@@ -160,3 +160,33 @@ def test_nms_two_stage_topk_large_n():
     np.testing.assert_array_equal(np.asarray(keep_idx), order)
     np.testing.assert_allclose(np.asarray(keep_scores), scores[order],
                                rtol=1e-6)
+
+
+def test_nms_cascade_small_k_exact():
+    """Latency-cascade lemma (detector3d_template post_processing): when
+    the number of candidates above the score threshold fits k_small, NMS
+    over the top-k_small candidates equals NMS over the full top-k_pre
+    set — the dropped tail is all below threshold (invalid) and can
+    neither be kept nor suppress anything."""
+    from gdmae_tpu.ops import iou_nms
+
+    rng = np.random.RandomState(3)
+    n, k_small, k_pre, post = 4000, 256, 2048, 64
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0] = rng.uniform(0, 70, n)
+    boxes[:, 1] = rng.uniform(-40, 40, n)
+    boxes[:, 3] = rng.uniform(1.5, 4.5, n)
+    boxes[:, 4] = rng.uniform(1.4, 2.0, n)
+    boxes[:, 5] = 1.5
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    scores = rng.uniform(0, 0.29, n).astype(np.float32)
+    hot = rng.choice(n, 180, replace=False)
+    scores[hot] = rng.uniform(0.31, 1.0, len(hot))
+    valid = scores > 0.3
+    assert valid.sum() < k_small
+
+    args = (jnp.asarray(boxes), jnp.asarray(scores), 0.1)
+    small = iou_nms.nms_bev(*args, k_small, post, valid=jnp.asarray(valid))
+    full = iou_nms.nms_bev(*args, k_pre, post, valid=jnp.asarray(valid))
+    for a, b in zip(small, full):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
