@@ -463,6 +463,19 @@ class SSTBlock(nn.Module):
         return None, None, None, occ, canvas_out
 
 
+class _ConvOutKernel(nn.Module):
+    """Bare (kh, kw, cin, cout) conv kernel parameter with nn.Conv's tree
+    layout/init, so the split-conv form shares checkpoints with the
+    ``nn.Conv(name="conv_out")`` form."""
+
+    shape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
 class DeconvFuse(nn.Module):
     """FPN-style deconv fusion of the pyramid to a stride-1 dense map
     (reference SPTBackbone deblocks + conv_out, spt_backbone.py:283-303).
@@ -509,9 +522,26 @@ class DeconvFuse(nn.Module):
             ups.append(x)
             total += nf
         out_ch = total // len(ups)
-        x = jnp.concatenate(ups, axis=-1)
-        x = nn.Conv(out_ch, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="conv_out")(x)
+        import os
+        if os.environ.get("GDMAE_FUSE_SPLIT"):
+            # A/B: conv(concat(a,b,c), W) == sum_i conv(x_i, W[:, :, off_i])
+            # — avoids materializing the (B, Ny, Nx, total) concat through
+            # fwd+bwd (same parameter tree as the nn.Conv form)
+            w = _ConvOutKernel((3, 3, total, out_ch), name="conv_out")()
+            x = None
+            off = 0
+            for u in ups:
+                nf = u.shape[-1]
+                y = jax.lax.conv_general_dilated(
+                    u, w[:, :, off:off + nf, :].astype(self.dtype),
+                    (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                x = y if x is None else x + y
+                off += nf
+        else:
+            x = jnp.concatenate(ups, axis=-1)
+            x = nn.Conv(out_ch, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.dtype, name="conv_out")(x)
         x = MaskedBatchNorm(dtype=self.dtype, name="conv_out_bn")(
             x, use_running_average=not train
         )
