@@ -78,9 +78,19 @@ def load_params_partial(path, params, batch_stats, logger=None,
                         rename_map: Optional[Dict[str, str]] = None):
     """Shape-tolerant partial restore (reference load_params_from_file
     :361-411): load every leaf whose (possibly renamed) path exists in the
-    target with a matching shape; leave the rest at init.  This is the
-    pretrain -> finetune handoff (e.g. SPTBackboneMAE 'encoder/...' weights
-    into SPTBackbone)."""
+    target with a matching shape; leave the rest at init.
+
+    ``rename_map``: {target-path-prefix: source-path-prefix}.  The MAE ->
+    detection handoff nests the pyramid one level deeper on the pretrain
+    side (SPTBackboneMAE holds the SPTBackbone as 'encoder'), so
+    tools/train.py passes {"backbone_3d": "backbone_3d/encoder"} and a
+    target leaf 'backbone_3d/sst_block_0/...' restores from the
+    checkpoint's 'backbone_3d/encoder/sst_block_0/...'.
+
+    (A round-4 regression test, tests/test_two_stage.py::
+    test_mae_pretrain_to_detect_handoff, caught the previous fragment
+    semantics silently matching NOTHING — the handoff left the whole
+    pyramid at random init while only the VFE transferred.)"""
     with open(path, "rb") as f:
         payload = pickle.load(f)
 
@@ -93,10 +103,9 @@ def load_params_partial(path, params, batch_stats, logger=None,
         for key, val in tgt_flat.items():
             cand_keys = [key]
             if rename_map:
-                for old, new in rename_map.items():
-                    if new and key.startswith(new):
-                        cand_keys.append(old + key[len(new):])
-                    cand_keys.append(old + "/" + key)
+                for tgt_pre, src_pre in rename_map.items():
+                    if key == tgt_pre or key.startswith(tgt_pre + "/"):
+                        cand_keys.append(src_pre + key[len(tgt_pre):])
             for ck in cand_keys:
                 if ck in src_flat and np.shape(src_flat[ck]) == np.shape(val):
                     tgt_flat[key] = np.asarray(src_flat[ck])

@@ -128,3 +128,84 @@ def test_checkpoint_roundtrip_and_partial_restore(tmp_path):
     np.testing.assert_allclose(
         np.asarray(get(new_params, key_path)),
         np.asarray(get(params, key_path)))
+
+
+def test_mae_pretrain_to_detect_handoff(tmp_path):
+    """The MAE -> detection transfer (reference dist_ssl_train.sh:
+    pretrain gd_mae_ssl, then --pretrained_model into gd_mae): the
+    SPTBackboneMAE tree nests the pyramid under 'encoder', the detection
+    SPTBackbone does not — load_params_partial's rename_map must carry
+    every shared encoder/VFE weight across, exactly as tools/train.py's
+    --pretrained_model path does."""
+    from pathlib import Path
+    import optax
+    from gdmae_tpu.config import cfg_from_yaml_file
+    from gdmae_tpu.runtime import checkpoint as ckpt_lib
+    from gdmae_tpu.runtime import train as train_lib
+
+    repo = Path(__file__).resolve().parent.parent
+    meta = DatasetMeta(
+        class_names=["Car", "Pedestrian", "Cyclist"],
+        point_cloud_range=[0, -10.24, -3, 20.48, 10.24, 1],
+        voxel_size=[0.32, 0.32, 4],
+        grid_size=[64, 64],
+        num_point_features=4,
+        max_points=1024,
+        max_pillars=512,
+    )
+    rng = np.random.RandomState(0)
+    pts = np.zeros((1, 1024, 4), np.float32)
+    pts[..., 0] = rng.uniform(0.5, 20, (1, 1024))
+    pts[..., 1] = rng.uniform(-10, 10, (1, 1024))
+    pts[..., 2] = rng.uniform(-2.5, 0.5, (1, 1024))
+    batch = {"points": jnp.asarray(pts),
+             "point_mask": jnp.ones((1, 1024), bool)}
+
+    ssl_cfg = cfg_from_yaml_file(
+        str(repo / "tools/cfgs/kitti_models/gd_mae_ssl.yaml"))
+    ssl_cfg.MODEL.BACKBONE_3D.pop("TPU_WINDOW_CAPS", None)
+    ssl_cfg.MODEL.BACKBONE_3D.TPU_JOINT_BUDGETS = [256, 256, 128]
+    ssl_model = build_network(ssl_cfg.MODEL, num_class=3, dataset=meta)
+    ssl_params, ssl_bs = train_lib.init_model(ssl_model, dict(batch), seed=0)
+    state = train_lib.TrainState.create(ssl_params, ssl_bs, optax.sgd(0.1))
+    path = ckpt_lib.save_checkpoint(state, tmp_path, epoch=1,
+                                    max_ckpt_save_num=1)
+
+    det_cfg = cfg_from_yaml_file(
+        str(repo / "tools/cfgs/kitti_models/gd_mae.yaml"))
+    det_cfg.MODEL.BACKBONE_3D.pop("TPU_WINDOW_CAPS", None)
+    det_model = build_network(det_cfg.MODEL, num_class=3, dataset=meta)
+    det_batch = dict(batch)
+    det_batch["gt_boxes"] = jnp.asarray(
+        np.array([[[5, 1, -1, 3.9, 1.6, 1.56, 0.2, 1]]], np.float32))
+    det_params, det_bs = train_lib.init_model(det_model, det_batch, seed=1)
+
+    new_params, new_bs = ckpt_lib.load_params_partial(
+        path, det_params, det_bs,
+        rename_map={"backbone_3d": "backbone_3d/encoder"})
+
+    def leaves(tree, prefix):
+        node = tree
+        for k in prefix:
+            node = node[k]
+        return jax.tree_util.tree_leaves_with_path(node)
+
+    # every encoder pyramid weight must equal the pretrained value...
+    src = dict(jax.tree_util.tree_leaves_with_path(
+        ssl_params["backbone_3d"]["encoder"]))
+    carried = 0
+    for pth, v in leaves(new_params, ("backbone_3d",)):
+        if pth in src and np.shape(src[pth]) == np.shape(v):
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(src[pth]))
+            carried += 1
+    assert carried > 40, carried
+    # ...and the VFE too (same name both sides)
+    src_vfe = dict(jax.tree_util.tree_leaves_with_path(ssl_params["vfe"]))
+    for pth, v in leaves(new_params, ("vfe",)):
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(src_vfe[pth]))
+    # the detection head stays at its own init (not in the checkpoint)
+    dh0 = jax.tree_util.tree_leaves(det_params["dense_head"])
+    dh1 = jax.tree_util.tree_leaves(new_params["dense_head"])
+    assert all(np.array_equal(a, b) for a, b in zip(dh0, dh1))

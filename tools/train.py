@@ -233,7 +233,8 @@ def main():
         else:
             new_params, new_bs = ckpt_lib.load_params_partial(
                 args.pretrained_model, state.params, state.batch_stats,
-                logger=logger, rename_map={"encoder": "backbone_3d"})
+                logger=logger,
+                rename_map={"backbone_3d": "backbone_3d/encoder"})
         state = state.replace(params=new_params, batch_stats=new_bs)
     latest = ckpt_lib.latest_checkpoint(ckpt_dir) if args.ckpt is None else args.ckpt
     if latest is not None and Path(str(latest)).exists():
