@@ -59,17 +59,34 @@ class DatasetTemplate(_TorchDataset):
         self.max_pillars = int(pad_cfg.get("MAX_PILLARS", 12288))
         self.max_gt_boxes = int(pad_cfg.get("MAX_GT_BOXES", 64))
 
-        self.total_epochs = 0
-        self.cur_epoch = 0
+        # epoch state lives in shared memory: the loader runs PERSISTENT
+        # fork'd workers, so a plain attribute updated by the training
+        # loop's set_epoch would stay frozen at the fork-time value inside
+        # the workers (stale fade_epoch scheduling, epoch-invariant MAE
+        # masks — ADVICE r4 medium)
+        import multiprocessing as _mp
+
+        self._epoch_val = _mp.Value("i", 0)
+        self._total_epochs_val = _mp.Value("i", 0)
         self._merge_all_iters_to_one_epoch = False
 
     @property
     def mode(self):
         return "train" if self.training else "test"
 
+    @property
+    def cur_epoch(self):
+        v = getattr(self, "_epoch_val", None)
+        return 0 if v is None else int(v.value)
+
+    @property
+    def total_epochs(self):
+        v = getattr(self, "_total_epochs_val", None)
+        return 0 if v is None else int(v.value)
+
     def set_epoch(self, cur_epoch, total_epochs):
-        self.cur_epoch = cur_epoch
-        self.total_epochs = total_epochs
+        self._epoch_val.value = int(cur_epoch)
+        self._total_epochs_val.value = int(total_epochs)
 
     def __len__(self):
         raise NotImplementedError
@@ -175,4 +192,7 @@ class DatasetTemplate(_TorchDataset):
             else:
                 out[key] = vals
         out["batch_size"] = b
+        # epoch tag (shared-memory backed, live inside persistent workers)
+        # so collate-time host prep can fold the epoch into per-batch rng
+        out["cur_epoch"] = self.cur_epoch
         return out

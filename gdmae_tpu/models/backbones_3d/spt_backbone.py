@@ -36,7 +36,7 @@ from ..model_utils.sst_layers import CanvasShiftBlock, DenseWindowShiftBlock
 import functools
 
 
-def _place_impl(pillar_features, inv, tok_flat_idx=None):
+def _place_impl(pillar_features, inv, tok_flat_idx=None, sorted_cells=True):
     """Tokens -> flat canvas.  Two bit-equivalent forms:
 
     * scatter (default when ``tok_flat_idx`` given): zeros + ONE
@@ -48,6 +48,11 @@ def _place_impl(pillar_features, inv, tok_flat_idx=None):
       ``GDMAE_CANVAS_GATHER=1``).
     * gather: one take_along_axis over ALL Ny*Nx cells through the
       cell->token map — touches every canvas row.
+
+    ``sorted_cells`` must reflect the ACTUAL raster order of
+    ``tok_flat_idx``: the sortedness hint on an unsorted scatter is
+    undefined behaviour on XLA (PointPillarScatter passes first-come,
+    non-raster pillar coords — map_to_bev.py sets ``sorted_cells=False``).
     """
     import os
 
@@ -59,7 +64,7 @@ def _place_impl(pillar_features, inv, tok_flat_idx=None):
         bi = jnp.arange(b, dtype=jnp.int32)[:, None]
         # NOT unique_indices: every invalid row aliases the trash cell
         canvas = canvas.at[bi, tok_flat_idx].set(
-            pillar_features, mode="drop", indices_are_sorted=True)
+            pillar_features, mode="drop", indices_are_sorted=sorted_cells)
         return canvas[:, :-1]
     feats_pad = jnp.concatenate(
         [pillar_features, jnp.zeros((b, 1, c), pillar_features.dtype)], axis=1)
@@ -85,7 +90,9 @@ def _cg_fwd(canvas_flat, coords, mask, inv, grid_hw):
 def _cg_bwd(grid_hw, res, g):
     # token coords are unique per sample, so the transpose of the canvas
     # gather is canvas PLACEMENT of the token grads through the saved
-    # cell->token map (gather form; row-scatter under GDMAE_CANVAS_SCATTER)
+    # cell->token map (row-scatter by default; the canvas-wide gather form
+    # is the GDMAE_CANVAS_GATHER=1 opt-out).  Coords here are raster-sorted
+    # by contract (gather_canvas_at requires it when mask is given).
     mask, inv, tok_flat = res
     g = g * mask[..., None].astype(g.dtype)
     gcanvas = _place_impl(g, inv, tok_flat)
@@ -114,17 +121,18 @@ def gather_canvas_at(canvas, coords, grid_hw, mask=None, cell2tok=None):
     return jnp.take_along_axis(flat, idx[..., None], axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _canvas_place_p(pillar_features, inv, tok_flat_idx, grid_hw):
-    return _place_impl(pillar_features, inv, tok_flat_idx)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _canvas_place_p(pillar_features, inv, tok_flat_idx, grid_hw,
+                    sorted_cells=True):
+    return _place_impl(pillar_features, inv, tok_flat_idx, sorted_cells)
 
 
-def _cp_fwd(pillar_features, inv, tok_flat_idx, grid_hw):
-    return (_place_impl(pillar_features, inv, tok_flat_idx),
+def _cp_fwd(pillar_features, inv, tok_flat_idx, grid_hw, sorted_cells):
+    return (_place_impl(pillar_features, inv, tok_flat_idx, sorted_cells),
             (inv, tok_flat_idx, pillar_features.shape))
 
 
-def _cp_bwd(grid_hw, res, g):
+def _cp_bwd(grid_hw, sorted_cells, res, g):
     # g: (B, Ny*Nx, C).  Each token owns exactly one cell -> cotangent is
     # a gather of g at the token's flat cell (trash cell Ny*Nx -> zero).
     inv, tok_flat_idx, (b, m, c) = res
@@ -156,7 +164,8 @@ def scatter_pillars_to_canvas(pillar_features, pillar_coords, pillar_mask,
     occ = (inv < m).reshape(b, ny, nx)
     tok_flat = tok_cell if tok_cell is not None else \
         window_ops.token_cell_index(pillar_coords, pillar_mask, (ny, nx))
-    canvas = _canvas_place_p(pillar_features, inv, tok_flat, (ny, nx))
+    canvas = _canvas_place_p(pillar_features, inv, tok_flat, (ny, nx),
+                             sorted_cells)
     return canvas.reshape(b, ny, nx, c), occ
 
 
@@ -387,6 +396,7 @@ class SSTBlock(nn.Module):
                     activation=str(enc.ACTIVATION),
                     cosine=bool(enc.get("LAYER_CFG", {}).get("cosine", False)),
                     tau_min=float(enc.get("LAYER_CFG", {}).get("tau_min", 0.01)),
+                    exact_gelu=enc.get("LAYER_CFG", {}).get("exact_gelu", None),
                     fused_layer=self.fused_layer,
                     dtype=self.dtype,
                     name=f"shift_block_{bi}",
@@ -452,6 +462,7 @@ class SSTBlock(nn.Module):
                 activation=str(enc.ACTIVATION),
                 cosine=bool(enc.get("LAYER_CFG", {}).get("cosine", False)),
                 tau_min=float(enc.get("LAYER_CFG", {}).get("tau_min", 0.01)),
+                exact_gelu=enc.get("LAYER_CFG", {}).get("exact_gelu", None),
                 dtype=self.dtype,
                 name=f"shift_block_{bi}",
             )(x, occ)

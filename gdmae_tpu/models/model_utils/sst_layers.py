@@ -24,20 +24,23 @@ from flax import linen as nn
 from ...ops import window as window_ops
 
 
-def gelu(x):
+def gelu(x, exact: Optional[bool] = None):
     """GELU with a fast-by-default TPU form.
 
     torch ``F.gelu``'s default is the exact erf form (reference
     sst_basic_block.py:117-121).  On this chip the erf lowering measurably
-    slows the packed encoder FFNs versus the tanh approximation, and the
-    tanh/erf activation delta (~1e-3) sits below the fp32 re-association
-    floor already accepted by the trajectory-parity suite — so tanh is the
-    default and exact-erf is an opt-in parity flag (``GDMAE_EXACT_GELU=1``,
-    set by the torch-parity tests)."""
-    import os
-    if os.environ.get("GDMAE_EXACT_GELU"):
-        return nn.gelu(x, approximate=False)
-    return nn.gelu(x, approximate=True)
+    slows the packed encoder FFNs versus the tanh approximation; the
+    gradient deviation of the tanh form through the full detection graph is
+    pinned by tests/test_train_trajectory.py::
+    test_gelu_fast_path_gradient_deviation — so tanh is the default.
+
+    ``exact`` — the model-config choice (``LAYER_CFG.exact_gelu`` in the
+    yaml, recorded with the run).  ``None`` falls back to the
+    ``GDMAE_EXACT_GELU=1`` process flag (set by the torch-parity tests)."""
+    if exact is None:
+        import os
+        exact = bool(os.environ.get("GDMAE_EXACT_GELU"))
+    return nn.gelu(x, approximate=not exact)
 
 
 class CosineMultiheadAttention(nn.Module):
@@ -251,6 +254,7 @@ class BucketEncoderLayer(nn.Module):
     activation: str = "gelu"
     cosine: bool = True
     tau_min: float = 0.01
+    exact_gelu: Optional[bool] = None  # LAYER_CFG.exact_gelu; None -> env
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -265,7 +269,7 @@ class BucketEncoderLayer(nn.Module):
 
     def _act(self, x):
         if self.activation == "gelu":
-            return gelu(x)
+            return gelu(x, self.exact_gelu)
         if self.activation == "relu":
             return nn.relu(x)
         raise NotImplementedError(self.activation)
@@ -348,6 +352,10 @@ class FusedBucketEncoderLayer(nn.Module):
     activation: str = "gelu"
     cosine: bool = True
     tau_min: float = 0.01
+    # accepted for constructor uniformity with BucketEncoderLayer; the
+    # Pallas kernel only implements the env-var gelu form, so callers route
+    # explicit config choices to the unfused layer (see CanvasShiftBlock)
+    exact_gelu: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -420,6 +428,7 @@ class DenseWindowShiftBlock(nn.Module):
     activation: str = "gelu"
     cosine: bool = True
     tau_min: float = 0.01
+    exact_gelu: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -444,7 +453,8 @@ class DenseWindowShiftBlock(nn.Module):
             layer = BucketEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward,
                 activation=self.activation, cosine=self.cosine,
-                tau_min=self.tau_min, dtype=self.dtype, name=f"encoder_{i}",
+                tau_min=self.tau_min, exact_gelu=self.exact_gelu,
+                dtype=self.dtype, name=f"encoder_{i}",
             )
             nwy = -(-(ny + sy) // wy)
             nwx = -(-(nx + sx) // wx)
@@ -488,6 +498,7 @@ class CanvasShiftBlock(nn.Module):
     activation: str = "gelu"
     cosine: bool = True
     tau_min: float = 0.01
+    exact_gelu: Optional[bool] = None
     fused_layer: bool = False  # TPU_FUSED_LAYER: one Pallas kernel per layer
     dtype: Any = jnp.float32
 
@@ -503,15 +514,19 @@ class CanvasShiftBlock(nn.Module):
             if isinstance(plan, window_ops.JointPlan):
                 # joint-budget packing: one (B, S) stream per shift, window
                 # identity carried per slot (wid) instead of a static
-                # per-block sub-window size
+                # per-block sub-window size.  The fused Pallas kernel only
+                # knows the env-var gelu form, so an explicit config choice
+                # routes to the unfused layer.
                 use_fused = (self.fused_layer and self.cosine and
-                             self.activation == "gelu")
+                             self.activation == "gelu" and
+                             self.exact_gelu is None)
                 layer_cls = FusedBucketEncoderLayer if use_fused \
                     else BucketEncoderLayer
                 layer = layer_cls(
                     self.d_model, self.nhead, self.dim_feedforward,
                     activation=self.activation, cosine=self.cosine,
-                    tau_min=self.tau_min, dtype=self.dtype,
+                    tau_min=self.tau_min, exact_gelu=self.exact_gelu,
+                    dtype=self.dtype,
                     name=f"encoder_{i}",
                 )
                 flat = window_ops.joint_gather_rows(rows, plan)
@@ -536,13 +551,15 @@ class CanvasShiftBlock(nn.Module):
                 continue
             ts = window_ops.plan_block_ts(plan)
             use_fused = (self.fused_layer and ts is not None and
-                         self.cosine and self.activation == "gelu")
+                         self.cosine and self.activation == "gelu" and
+                         self.exact_gelu is None)
             layer_cls = FusedBucketEncoderLayer if use_fused \
                 else BucketEncoderLayer
             layer = layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward,
                 activation=self.activation, cosine=self.cosine,
-                tau_min=self.tau_min, dtype=self.dtype, name=f"encoder_{i}",
+                tau_min=self.tau_min, exact_gelu=self.exact_gelu,
+                dtype=self.dtype, name=f"encoder_{i}",
             )
             if ts is not None:
                 # packed path: ONE attention/FFN/LN pass over the level-

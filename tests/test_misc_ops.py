@@ -92,3 +92,48 @@ def test_conv_bn_fold():
     fused_p, fused_s = fuse_conv_bn(vs["params"], vs["batch_stats"])
     got = mod.apply({"params": fused_p, "batch_stats": fused_s}, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+
+def test_gelu_config_option(monkeypatch):
+    """LAYER_CFG.exact_gelu is the recorded, yaml-level choice of gelu form
+    (ADVICE r4: the env var alone left the production default uncovered).
+    exact_gelu=True == erf regardless of the env var; None falls back to
+    the GDMAE_EXACT_GELU process flag."""
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from gdmae_tpu.models.model_utils.sst_layers import gelu
+
+    x = jnp.asarray(np.linspace(-3, 3, 101, dtype=np.float32))
+    erf = nn.gelu(x, approximate=False)
+    tanh = nn.gelu(x, approximate=True)
+
+    monkeypatch.delenv("GDMAE_EXACT_GELU", raising=False)
+    np.testing.assert_array_equal(np.asarray(gelu(x, True)), np.asarray(erf))
+    np.testing.assert_array_equal(np.asarray(gelu(x, False)), np.asarray(tanh))
+    np.testing.assert_array_equal(np.asarray(gelu(x)), np.asarray(tanh))
+    monkeypatch.setenv("GDMAE_EXACT_GELU", "1")
+    np.testing.assert_array_equal(np.asarray(gelu(x)), np.asarray(erf))
+    # explicit config choice beats the env var
+    np.testing.assert_array_equal(np.asarray(gelu(x, False)), np.asarray(tanh))
+
+    # end-to-end: the config key reaches the encoder layer
+    from gdmae_tpu.models.model_utils.sst_layers import BucketEncoderLayer
+
+    monkeypatch.delenv("GDMAE_EXACT_GELU", raising=False)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(1, 2, 8, 16).astype(np.float32))
+    pos = jnp.zeros_like(feats)
+    valid = jnp.ones((1, 2, 8), bool)
+    outs = {}
+    for exact in (True, False):
+        layer = BucketEncoderLayer(16, 4, 32, exact_gelu=exact)
+        v = layer.init(jax.random.PRNGKey(0), feats, pos, valid)
+        outs[exact] = np.asarray(layer.apply(v, feats, pos, valid))
+    assert not np.array_equal(outs[True], outs[False])
+    monkeypatch.setenv("GDMAE_EXACT_GELU", "1")
+    layer = BucketEncoderLayer(16, 4, 32, exact_gelu=None)
+    v = layer.init(jax.random.PRNGKey(0), feats, pos, valid)
+    np.testing.assert_array_equal(
+        np.asarray(layer.apply(v, feats, pos, valid)), outs[True])

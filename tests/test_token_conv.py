@@ -210,3 +210,47 @@ def test_canvas_place_gather_custom_vjp():
     sel = np.asarray(mask)
     np.testing.assert_allclose(np.asarray(g1)[sel], np.asarray(g2)[sel],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_canvas_scatter_unsorted_coords():
+    """ADVICE r4 (high): PointPillarScatter passes FIRST-COME (non-raster)
+    pillar coords with sorted_cells=False; the row-scatter path must not
+    claim indices_are_sorted for them.  Oracle: per-cell numpy placement."""
+    rng = np.random.RandomState(7)
+    b, m, ny, nx, c = 2, 48, 11, 9, 5
+    coords = np.zeros((b, m, 2), np.int32)
+    mask = np.zeros((b, m), bool)
+    for i in range(b):
+        n = rng.randint(m // 2, m + 1)
+        cells = rng.choice(ny * nx, size=n, replace=False)  # NOT sorted
+        coords[i, :n, 0] = cells // nx
+        coords[i, :n, 1] = cells % nx
+        mask[i, :n] = True
+    feats = rng.randn(b, m, c).astype(np.float32) * mask[..., None]
+
+    from gdmae_tpu.models.backbones_3d.spt_backbone import (
+        scatter_pillars_to_canvas)
+    canvas, occ = scatter_pillars_to_canvas(
+        jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(mask),
+        (ny, nx), sorted_cells=False)
+
+    want = np.zeros((b, ny, nx, c), np.float32)
+    wocc = np.zeros((b, ny, nx), bool)
+    for i in range(b):
+        for j in range(m):
+            if mask[i, j]:
+                want[i, coords[i, j, 0], coords[i, j, 1]] = feats[i, j]
+                wocc[i, coords[i, j, 0], coords[i, j, 1]] = True
+    np.testing.assert_allclose(np.asarray(canvas), want, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(occ), wocc)
+
+    # gradient path: cotangent at each cell must flow back to its token
+    def f(t):
+        cv, _ = scatter_pillars_to_canvas(
+            t, jnp.asarray(coords), jnp.asarray(mask), (ny, nx),
+            sorted_cells=False)
+        return (cv ** 2).sum()
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(feats)))
+    np.testing.assert_allclose(g[mask], 2.0 * feats[mask],
+                               rtol=1e-6, atol=1e-6)

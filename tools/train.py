@@ -165,8 +165,12 @@ def main():
 
         def host_mae_fn(bt):
             fid = "/".join(str(f) for f in bt.get("frame_id", ["0"]))
+            # fold the epoch in: a (base_seed, frame) pair alone would give
+            # a frame the IDENTICAL mask every epoch (ADVICE r4 medium) —
+            # the reference draws a fresh mask per iteration
             rng = np.random.default_rng(
-                (base_seed, zlib.crc32(fid.encode())))
+                (base_seed, int(bt.get("cur_epoch", 0)),
+                 zlib.crc32(fid.encode())))
             bt.update(mae_host_targets(
                 bt["points"], bt["point_mask"], meta.point_cloud_range,
                 meta.voxel_size, meta.grid_size, meta.max_pillars,
