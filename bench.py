@@ -388,18 +388,48 @@ def main():
             print("sustained run timed out", file=sys.stderr)
 
     # MFU from XLA's own flop count for the compiled train step
-    mfu_pct = None
-    try:
-        cost = jax.jit(step).lower(
-            state, batch, jax.random.PRNGKey(0)).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        peak = 197e12 if on_tpu else 1e12  # v5e bf16 nominal
-        if flops > 0:
-            mfu_pct = 100.0 * flops * iters / best / peak
-    except Exception as e:
-        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+    def step_mfu(step_fn, st, bt, t_per_iter):
+        try:
+            cost = jax.jit(step_fn).lower(
+                st, bt, jax.random.PRNGKey(0)).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            peak = 197e12 if on_tpu else 1e12  # v5e bf16 nominal
+            if flops > 0:
+                return 100.0 * flops / t_per_iter / peak
+        except Exception as e:
+            print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        return None
+
+    mfu_pct = step_mfu(step, state, batch, best / iters)
+
+    # ---- flagship-scale workload: Waymo 468x468 grid ----
+    # Run in a SUBPROCESS (tools/bench_waymo.py): an HBM over-commit on the
+    # tunneled chip hard-crashes the TPU worker (UNAVAILABLE, not
+    # RESOURCE_EXHAUSTED), which would take the whole bench process down —
+    # isolation lets the batch-size ladder walk past the crash.
+    waymo = {}
+    if os.environ.get("GDMAE_BENCH_WAYMO", "1") != "0" and on_tpu:
+        import subprocess
+        wb = int(os.environ.get("GDMAE_BENCH_WAYMO_BATCH", "8"))
+        ladder = [wb, wb // 2, wb // 4]
+        for wbs_try in [b for b in ladder if b >= 1]:
+            try:
+                r = subprocess.run(
+                    [sys.executable, str(REPO / "tools/bench_waymo.py"),
+                     str(wbs_try)],
+                    timeout=2400, capture_output=True, text=True)
+            except subprocess.TimeoutExpired:
+                print("waymo bench timed out", file=sys.stderr)
+                break
+            line = next((ln for ln in reversed(r.stdout.splitlines())
+                         if ln.startswith("{")), None)
+            if r.returncode == 0 and line:
+                waymo = json.loads(line)
+                break
+            print(f"waymo batch {wbs_try} failed (rc={r.returncode}):\n"
+                  f"{r.stderr[-1500:]}", file=sys.stderr, flush=True)
 
     out = {
         "metric": "mae_pretrain_scans_per_sec_per_chip",
@@ -421,6 +451,7 @@ def main():
         out["detect_batch8_scans_per_sec"] = round(det_batch8_scans_per_sec, 1)
     if train_sustained is not None:
         out["train_sustained_scans_per_sec"] = train_sustained
+    out.update(waymo)
     # round-over-round trend (BENCH_r0*.json; r3's 46.17 was the
     # TPU_HYBRID_DECODE default-on regression, PERFORMANCE.md round 4)
     out["prev_rounds"] = {"r1_scans_per_sec": 37.7, "r2_scans_per_sec": 60.34,

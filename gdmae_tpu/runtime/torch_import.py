@@ -655,6 +655,28 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
                           else v) for k, v in state.items()}
 
 
+def load_dla_hub_weights(path: str, params, batch_stats=None, logger=None):
+    """Load a torchvision-hub-format DLA-34 ImageNet checkpoint into the
+    ``img_backbone.base`` subtree.
+
+    The reference fetches this file from the model hub at build time
+    (reference dla.py:196 ``model_zoo.load_url`` -> e.g.
+    ``dla34-ba72cf86.pth``) — unfetchable in offline environments, so this
+    accepts the SAME file from local disk (config key
+    ``MODEL.IMG_BACKBONE.PRETRAINED``).  Hub checkpoints are bare state
+    dicts keyed WITHOUT the in-detector prefix (``base_layer.0.weight``,
+    ``level3.tree1.conv1.weight``, ..., plus an ``fc`` ImageNet classifier
+    the reference discards); keys are re-prefixed to the reference's
+    detector names (``img_backbone.base.*``) and routed through
+    :func:`import_torch_state`'s shape-tolerant partial restore."""
+    sd = load_torch_checkpoint(path)
+    sd = sd.get("state_dict", sd) if not isinstance(
+        next(iter(sd.values()), None), np.ndarray) else sd
+    prefixed = {f"img_backbone.base.{k}": v for k, v in sd.items()
+                if not k.startswith("fc.")}
+    return import_torch_state(prefixed, params, batch_stats, logger=logger)
+
+
 def import_torch_state(state_dict: Dict[str, np.ndarray], params,
                        batch_stats=None, logger=None):
     """Shape-tolerant partial load of a reference state dict into flax

@@ -384,6 +384,31 @@ def _install_stubs():
     iou = _ensure_stub_pkg("pcdet.ops.iou3d_nms")
     iou_utils = _ensure_stub_pkg("pcdet.ops.iou3d_nms.iou3d_nms_utils")
     iou.iou3d_nms_utils = iou_utils
+
+    def _boxes_iou3d_cpu(boxes_a, boxes_b):
+        # CPU oracle for the reference's CUDA boxes_iou3d_gpu (N,7)x(M,7)
+        # (iou3d_nms_utils.py:48-76): exact polygon-clip BEV overlap (our
+        # numpy twin of the reference kernel) x height overlap / union.
+        # Non-differentiable — matches the reference's .detach()ed use in
+        # IoULossCenterNet (loss_utils.py:410-419).
+        from gdmae_tpu.utils.rotated_iou_np import boxes_overlap_bev_cpu
+
+        a = boxes_a.detach().cpu().numpy().astype(np.float64)
+        b = boxes_b.detach().cpu().numpy().astype(np.float64)
+        ov = boxes_overlap_bev_cpu(a[:, :7], b[:, :7])
+        a_max = (a[:, 2] + a[:, 5] / 2)[:, None]
+        a_min = (a[:, 2] - a[:, 5] / 2)[:, None]
+        b_max = (b[:, 2] + b[:, 5] / 2)[None, :]
+        b_min = (b[:, 2] - b[:, 5] / 2)[None, :]
+        ov_h = np.clip(np.minimum(a_max, b_max)
+                        - np.maximum(a_min, b_min), 0, None)
+        vol = ov * ov_h
+        va = (a[:, 3] * a[:, 4] * a[:, 5])[:, None]
+        vb = (b[:, 3] * b[:, 4] * b[:, 5])[None, :]
+        iou3d = vol / np.clip(va + vb - vol, 1e-6, None)
+        return _torch.as_tensor(iou3d.astype(np.float32))
+
+    iou_utils.boxes_iou3d_gpu = _boxes_iou3d_cpu
     roiaware = _ensure_stub_pkg("pcdet.ops.roiaware_pool3d")
     roiaware.roiaware_pool3d_utils = _ensure_stub_pkg(
         "pcdet.ops.roiaware_pool3d.roiaware_pool3d_utils")

@@ -556,3 +556,55 @@ def test_two_stage_roundtrip_full_coverage(rel):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)), batch_stats, new_bs)
+
+
+def test_dla_hub_local_file_loader(tmp_path):
+    """VERDICT r4 #9: a torchvision-hub-format DLA-34 file on LOCAL disk
+    (bare state dict, no img_backbone.base prefix, with an fc ImageNet
+    classifier) loads into the img_backbone.base subtree via
+    MODEL.IMG_BACKBONE.PRETRAINED -> load_dla_hub_weights."""
+    torch = pytest.importorskip("torch")
+    from gdmae_tpu.models.img_backbones.dla import DLA
+
+    ours = DLA()
+    rng = np.random.RandomState(5)
+    img = rng.rand(1, 32, 32, 3).astype(np.float32)
+    variables = ours.init(jax.random.PRNGKey(1), jnp.asarray(img),
+                          train=False)
+    params = {"img_backbone": {"base": dict(variables["params"])}}
+    bstats = {"img_backbone": {"base": dict(variables["batch_stats"])}}
+
+    # synthetic hub-format dict: distinct values for the stem conv + its BN,
+    # plus an fc classifier that must be ignored
+    k = np.asarray(
+        params["img_backbone"]["base"]["base_layer"]["Conv_0"]["kernel"])
+    conv_t = np.transpose(
+        rng.randn(*k.shape).astype(np.float32), (3, 2, 0, 1))  # OIHW
+    bn_w = rng.rand(k.shape[-1]).astype(np.float32) + 0.5
+    sd = {
+        "base_layer.0.weight": torch.as_tensor(conv_t),
+        "base_layer.1.weight": torch.as_tensor(bn_w),
+        "base_layer.1.bias": torch.as_tensor(
+            rng.randn(k.shape[-1]).astype(np.float32)),
+        "base_layer.1.running_mean": torch.as_tensor(
+            np.zeros(k.shape[-1], np.float32)),
+        "base_layer.1.running_var": torch.as_tensor(
+            np.ones(k.shape[-1], np.float32)),
+        "fc.weight": torch.zeros(1000, 512),
+        "fc.bias": torch.zeros(1000),
+    }
+    path = tmp_path / "dla34-hub.pth"
+    torch.save(sd, str(path))
+
+    new_p, new_bs, report = torch_import.load_dla_hub_weights(
+        str(path), params, bstats)
+    loaded_paths = {p for p, _ in report["loaded"]}
+    assert "img_backbone/base/base_layer/Conv_0/kernel" in loaded_paths
+    assert len(loaded_paths) == 5, sorted(loaded_paths)
+    got = np.asarray(
+        new_p["img_backbone"]["base"]["base_layer"]["Conv_0"]["kernel"])
+    np.testing.assert_allclose(got, np.transpose(conv_t, (2, 3, 1, 0)),
+                               rtol=0, atol=0)
+    got_bn = np.asarray(new_p["img_backbone"]["base"]["base_layer"]
+                        ["MaskedBatchNorm_0"]["scale"])
+    np.testing.assert_allclose(got_bn, bn_w, rtol=0, atol=0)

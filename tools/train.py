@@ -226,6 +226,16 @@ def main():
     state = train_lib.TrainState.create(params, batch_stats, tx)
 
     start_epoch = 0
+    img_pre = cfg_.MODEL.get("IMG_BACKBONE", {}).get("PRETRAINED", None)
+    if img_pre:
+        # local hub-format DLA-34 ImageNet weights (reference dla.py:196
+        # downloads these; offline rigs point PRETRAINED at the file)
+        from gdmae_tpu.runtime import torch_import
+        new_params, new_bs, rep = torch_import.load_dla_hub_weights(
+            img_pre, state.params, state.batch_stats, logger=logger)
+        state = state.replace(params=new_params, batch_stats=new_bs)
+        logger.info("loaded DLA-34 hub weights from %s (%d tensors)",
+                    img_pre, len(rep["loaded"]))
     if args.pretrained_model:
         if args.pretrained_model.endswith(".pth"):
             # reference torch checkpoint (published weights / torch-trained
