@@ -201,6 +201,9 @@ class SSTBlock(nn.Module):
     # TPU_FUSED_LAYER: run each encoder layer as ONE fused Pallas kernel
     # (ops.pallas.fused_encoder) instead of ~25 XLA passes
     fused_layer: bool = False
+    # TPU_POS_FOLD: fold the window pos-embed into the attention qkv
+    # projections (joint mode; see sst_layers.CosineMultiheadAttention)
+    pos_fold: bool = False
     # profiling-only ablations (TPU_ABLATE): 'attn' keeps the bucket plans
     # but skips the transformer math; 'plans' skips plan building too
     ablate: Tuple[str, ...] = ()
@@ -360,7 +363,9 @@ class SSTBlock(nn.Module):
             # (B, S, C) embeds ONCE per stage instead of once per encoder
             # layer (2 layers x NUM_BLOCKS share them)
             pos_flats = None
-            if self.window_mode == "joint":
+            if self.window_mode == "joint" and self.pos_fold:
+                pass  # pos folds into the attention projections per layer
+            elif self.window_mode == "joint":
                 pos_flats = [
                     window_ops.joint_pos_embed_flat(
                         p, window, d_model,
@@ -398,6 +403,7 @@ class SSTBlock(nn.Module):
                     tau_min=float(enc.get("LAYER_CFG", {}).get("tau_min", 0.01)),
                     exact_gelu=enc.get("LAYER_CFG", {}).get("exact_gelu", None),
                     fused_layer=self.fused_layer,
+                    pos_fold=(self.window_mode == "joint" and self.pos_fold),
                     dtype=self.dtype,
                     name=f"shift_block_{bi}",
                 )(rows, plans, pos_flats)
@@ -534,10 +540,14 @@ class DeconvFuse(nn.Module):
             total += nf
         out_ch = total // len(ups)
         import os
-        if os.environ.get("GDMAE_FUSE_SPLIT"):
-            # A/B: conv(concat(a,b,c), W) == sum_i conv(x_i, W[:, :, off_i])
+        if os.environ.get("GDMAE_FUSE_SPLIT", "1") != "0":
+            # DEFAULT (r5): conv(concat(a,b,c), W) == sum_i conv(x_i, W_i)
             # — avoids materializing the (B, Ny, Nx, total) concat through
-            # fwd+bwd (same parameter tree as the nn.Conv form)
+            # fwd+bwd (658 MB/step at KITTI batch 16; 152.0 -> 150.7 ms).
+            # Same parameter tree as the nn.Conv form
+            # (tests/test_sparse_decode.py::test_fuse_split_equivalence);
+            # the torch-parity suites pass with it on (r5).
+            # GDMAE_FUSE_SPLIT=0 restores the concat form.
             w = _ConvOutKernel((3, 3, total, out_ch), name="conv_out")()
             x = None
             off = 0
@@ -665,6 +675,7 @@ class SPTBackbone(nn.Module):
                 pack_pow2=bool(cfg.get("TPU_PACK_POW2", False)),
                 pack_min_t=int(cfg.get("TPU_PACK_MIN_T", 1)),
                 fused_layer=bool(cfg.get("TPU_FUSED_LAYER", False)),
+                pos_fold=bool(cfg.get("TPU_POS_FOLD", False)),
                 ablate=tuple(cfg.get("TPU_ABLATE", ())),
                 dtype=self.dtype, name=f"sst_block_{i}",
             )(tokens, coords, mask, occ, canvas_in=canvas, cell2tok_in=c2t,

@@ -64,13 +64,25 @@ class CosineMultiheadAttention(nn.Module):
     @nn.compact
     def __call__(self, qk: jnp.ndarray, v: jnp.ndarray, valid: jnp.ndarray,
                  block_ts: Optional[Tuple[int, ...]] = None,
-                 wid: Optional[jnp.ndarray] = None):
+                 wid: Optional[jnp.ndarray] = None,
+                 pos_incell: Optional[jnp.ndarray] = None,
+                 pos_table: Optional[jnp.ndarray] = None):
         """qk/v: (..., T, C); valid: (..., T).  ``block_ts`` (static tuple,
         one sub-window size per 128-token block) marks the packed-block
         layout and routes to the fused Pallas kernel (XLA biased-einsum
         fallback elsewhere).  ``wid`` ((..., T) int32 window ids) marks the
         JOINT-packed layout (ops.window.JointPlan): the attention mask is
-        wid equality instead of a static per-block structure."""
+        wid equality instead of a static per-block structure.
+
+        ``pos_incell``/``pos_table``: position-projection FOLD.  The
+        sinusoidal window pos-embed takes only ``wy*wx`` distinct values, so
+        instead of the caller materializing pos and paying a separate
+        ``(feats+pos) @ W_qk`` dot next to the ``feats @ W_v`` dot, pass
+        ``qk = v = feats`` plus the (W_cells, C) table and the per-slot
+        in-window cell: q/k/v come from ONE ``feats @ W`` (C, 3C) dot and
+        the pos contribution is added post-projection through the
+        constant-folded ``table @ W_qk`` (W_cells, 2C) lookup (exact in
+        real arithmetic — matmul distributivity)."""
         *lead, t, c = qk.shape
         h = self.nhead
         hd = c // h
@@ -79,11 +91,27 @@ class CosineMultiheadAttention(nn.Module):
             "in_proj_weight", nn.initializers.xavier_uniform(), (c, 3 * c), jnp.float32
         )
         qkv_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * c,), jnp.float32)
-        # q and k share the same input: ONE (C, 2C) matmul instead of two
-        qk2 = qk @ qkv_w[:, : 2 * c].astype(self.dtype) \
-            + qkv_b[: 2 * c].astype(self.dtype)
-        q, k = qk2[..., :c], qk2[..., c:]
-        vv = v @ qkv_w[:, 2 * c :].astype(self.dtype) + qkv_b[2 * c :].astype(self.dtype)
+        if pos_incell is not None:
+            # one (C, 3C) dot on feats; pos added after projection via the
+            # tiny table product (one-hot matmul keeps the backward on the
+            # MXU — a take() would transpose to a 64-row scatter-add)
+            qkv = qk @ qkv_w.astype(self.dtype) + qkv_b.astype(self.dtype)
+            tbl_qk = (pos_table.astype(jnp.float32)
+                      @ qkv_w[:, : 2 * c]).astype(self.dtype)
+            oh = (pos_incell[..., None]
+                  == jnp.arange(pos_table.shape[0],
+                                dtype=pos_incell.dtype)).astype(self.dtype)
+            qk2 = qkv[..., : 2 * c] + oh @ tbl_qk
+            q, k = qk2[..., :c], qk2[..., c:]
+            vv = qkv[..., 2 * c:]
+        else:
+            # q and k share the same input: ONE (C, 2C) matmul instead of
+            # two
+            qk2 = qk @ qkv_w[:, : 2 * c].astype(self.dtype) \
+                + qkv_b[: 2 * c].astype(self.dtype)
+            q, k = qk2[..., :c], qk2[..., c:]
+            vv = v @ qkv_w[:, 2 * c :].astype(self.dtype) \
+                + qkv_b[2 * c :].astype(self.dtype)
 
         # per-head scaling applied on the FLAT (..., T, C) layout — no
         # (..., H, T, hd) tensor is materialized (hd=16 minor dims pad 8x
@@ -274,11 +302,20 @@ class BucketEncoderLayer(nn.Module):
             return nn.relu(x)
         raise NotImplementedError(self.activation)
 
-    def __call__(self, feats, pos, valid, block_ts=None, wid=None):
-        """feats/pos: (..., T, C); valid: (..., T)."""
+    def __call__(self, feats, pos, valid, block_ts=None, wid=None,
+                 pos_incell=None, pos_table=None):
+        """feats/pos: (..., T, C); valid: (..., T).  With
+        ``pos_incell``/``pos_table`` the caller passes ``pos=None`` and the
+        position embed folds into the attention projections (see
+        CosineMultiheadAttention)."""
         import os
-        src2 = self.win_attn(feats + pos, feats, valid, block_ts=block_ts,
-                             wid=wid)
+        if pos_incell is not None:
+            src2 = self.win_attn(feats, feats, valid, block_ts=block_ts,
+                                 wid=wid, pos_incell=pos_incell,
+                                 pos_table=pos_table)
+        else:
+            src2 = self.win_attn(feats + pos, feats, valid, block_ts=block_ts,
+                                 wid=wid)
         src = self.norm1(feats, src2)
         if not os.environ.get("GDMAE_ABLATE_FFN"):  # profiling-only knob
             src2 = self.linear2(self._act(self.linear1(src)))
@@ -500,6 +537,11 @@ class CanvasShiftBlock(nn.Module):
     tau_min: float = 0.01
     exact_gelu: Optional[bool] = None
     fused_layer: bool = False  # TPU_FUSED_LAYER: one Pallas kernel per layer
+    # TPU_POS_FOLD: fold the window pos-embed into the attention
+    # projections (one (C, 3C) qkv dot + a (wy*wx, 2C) table add) instead
+    # of materializing packed (B, S, C) embeds and paying a separate
+    # (feats+pos) @ W_qk dot per layer.  Joint mode only.
+    pos_fold: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -532,6 +574,22 @@ class CanvasShiftBlock(nn.Module):
                 flat = window_ops.joint_gather_rows(rows, plan)
                 b, s, c = flat.shape
                 nb = s // 128
+                if self.pos_fold and not use_fused:
+                    table = window_ops.incell_pos_table(
+                        self.window, self.d_model,
+                        pos_temperature=self.pos_temperature,
+                        normalize_pos=self.normalize_pos, dtype=jnp.float32,
+                    ).astype(rows.dtype)
+                    out = layer(
+                        flat.reshape(b, nb, 128, c), None,
+                        plan.tok_valid.reshape(b, nb, 128),
+                        wid=plan.wid.reshape(b, nb, 128),
+                        pos_incell=plan.tok_incell.reshape(b, nb, 128),
+                        pos_table=table,
+                    )
+                    rows = window_ops.joint_scatter_rows(
+                        rows, plan, out.reshape(b, s, c))
+                    continue
                 if pos_flats is not None:
                     pos = pos_flats[i % num_shifts]
                 else:

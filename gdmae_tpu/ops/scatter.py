@@ -81,12 +81,20 @@ def segment_max(values, segment_ids, num_segments, indices_are_sorted=False):
     """Max per segment; empty segments get 0 (torch_scatter.scatter_max pads 0
     for empty outputs in the reference's usage on ReLU'd features).
 
-    Custom VJP: the cotangent of each segment max is routed to the FIRST
-    element attaining it, matching torch_scatter.scatter_max's argmax-indexed
-    backward (reference dyn_vfe.py:107-113).  jax.ops.segment_max's native
-    VJP instead SPLITS the cotangent across all tied elements — and ReLU'd
-    features tie at exactly 0.0 constantly, which measurably diverges the
-    VFE gradients from the reference (tests/test_train_trajectory.py)."""
+    Custom VJP — two tie rules, both valid subgradients, identical whenever
+    a segment's max is attained uniquely:
+
+    * default (TIE-SPLITTING): the cotangent splits evenly across tied
+      maxima.  ~5 ms/step cheaper than the bookkeeping below on v5e
+      (147.0 vs 152.0 ms full MAE step, PERFORMANCE.md r4), and measured
+      BIT-IDENTICAL to first-winner through the whole detection graph on
+      realistic continuous features — ties simply do not occur there
+      (tests/test_train_trajectory.py::test_segmax_split_gradient_deviation
+      measured 0.0 per-tensor deviation, r5).
+    * ``GDMAE_SEGMAX_BWD=exact``: routed to the FIRST element attaining the
+      max, matching torch_scatter.scatter_max's argmax-indexed backward
+      (reference dyn_vfe.py:107-113) — pinned by the torch-parity suites so
+      degenerate tied inputs cannot silently diverge them."""
     out = jax.ops.segment_max(values, segment_ids, num_segments=num_segments,
                               indices_are_sorted=indices_are_sorted)
     return jnp.where(jnp.isneginf(out), 0.0, out)
@@ -101,11 +109,11 @@ def _segment_max_bwd(num_segments, indices_are_sorted, res, g):
     import os
     values, segment_ids, out = res
     n = values.shape[0]
-    mode = os.environ.get("GDMAE_SEGMAX_BWD", "")
+    mode = os.environ.get("GDMAE_SEGMAX_BWD", "split")
     is_max = values == out[segment_ids]
     if mode == "split":
-        # A/B only — jax native tie-splitting backward (NOT torch parity):
-        # quantifies the first-winner bookkeeping cost
+        # DEFAULT: tie-splitting backward (see segment_max docstring);
+        # GDMAE_SEGMAX_BWD=exact restores torch_scatter first-winner parity
         num = jax.ops.segment_sum(
             is_max.astype(values.dtype), segment_ids,
             num_segments=num_segments, indices_are_sorted=indices_are_sorted)

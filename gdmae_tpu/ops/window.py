@@ -979,17 +979,26 @@ def joint_scatter_rows(rows, plan: JointPlan, flat_feats):
     return _scatter_rows_flat_p(rows, flat_feats, plan.tok_src, plan.inv_idx)
 
 
+def incell_pos_table(window, feat_dim, pos_temperature=1000,
+                     normalize_pos=False, dtype=jnp.float32):
+    """(wy*wx, C) sinusoidal pos-embed table keyed by in-window cell
+    ``iy*wx + ix`` (the JointPlan ``tok_incell`` key)."""
+    wy, wx = window
+    yx_all = np.stack(np.meshgrid(np.arange(wy), np.arange(wx),
+                                  indexing="ij"), -1).reshape(-1, 2)
+    return sinusoidal_pos_embed(
+        jnp.asarray(yx_all, jnp.int32), window, feat_dim,
+        pos_temperature=pos_temperature, normalize_pos=normalize_pos,
+        dtype=jnp.float32).astype(dtype)
+
+
 def joint_pos_embed_flat(plan: JointPlan, window, feat_dim,
                          pos_temperature=1000, normalize_pos=False,
                          dtype=jnp.float32):
     """Packed (B, S, C) position embeds via the (wy*wx, C) table gather."""
-    wy, wx = window
-    yx_all = np.stack(np.meshgrid(np.arange(wy), np.arange(wx),
-                                  indexing="ij"), -1).reshape(-1, 2)
-    table = sinusoidal_pos_embed(
-        jnp.asarray(yx_all, jnp.int32), window, feat_dim,
-        pos_temperature=pos_temperature, normalize_pos=normalize_pos,
-        dtype=jnp.float32).astype(dtype)
+    table = incell_pos_table(window, feat_dim,
+                             pos_temperature=pos_temperature,
+                             normalize_pos=normalize_pos, dtype=dtype)
     return jnp.take(table, plan.tok_incell, axis=0)
 
 

@@ -149,3 +149,68 @@ def test_joint_canvas_shift_block_matches_bucket():
     out_j = blk.apply(variables, rows, jplans)
     np.testing.assert_allclose(np.asarray(out_j), np.asarray(out_b),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_pos_fold_matches_materialized_pos():
+    """TPU_POS_FOLD: folding the window pos-embed into the qkv projections
+    (one (C, 3C) dot + table add, sst_layers.CosineMultiheadAttention) is
+    numerically equivalent to materializing the packed pos and paying the
+    separate (feats+pos) @ W_qk dot — values AND parameter gradients, same
+    parameter tree."""
+    from gdmae_tpu.models.model_utils.sst_layers import CanvasShiftBlock
+
+    rng = np.random.RandomState(9)
+    b, m, c = 2, 96, 64
+    ny, nx = 32, 32
+    coords = np.stack([rng.randint(0, ny, (b, m)),
+                       rng.randint(0, nx, (b, m))], -1)
+    for bi in range(b):
+        cells = coords[bi, :, 0] * nx + coords[bi, :, 1]
+        _, first = np.unique(cells, return_index=True)
+        keep = np.zeros(m, bool)
+        keep[first] = True
+        coords[bi, ~keep, 0] = ny - 1
+        coords[bi, ~keep, 1] = nx - 1
+    mask = np.ones((b, m), bool)
+    coords_j, mask_j = jnp.asarray(coords), jnp.asarray(mask)
+    occ = W.occupancy_from_coords(coords_j, mask_j, (ny, nx))
+    c2t = W.build_cell2tok(coords_j, mask_j, (ny, nx))
+    tcell = W.token_cell_index(coords_j, mask_j, (ny, nx))
+    jplans = [W.joint_plan_to_tokens(
+        W.build_joint_plan(occ, (ny, nx), (8, 8), sh, PACKED, 512),
+        c2t, tcell, m) for sh in ((0, 0), (4, 4))]
+    for p in jplans:
+        assert int(p.overflow) == 0
+
+    rows = jnp.asarray(rng.randn(b, m, c).astype(np.float32))
+    blk_ref = CanvasShiftBlock(d_model=c, nhead=4, dim_feedforward=96,
+                               window=(8, 8), cosine=True, tau_min=0.01)
+    blk_fold = CanvasShiftBlock(d_model=c, nhead=4, dim_feedforward=96,
+                                window=(8, 8), cosine=True, tau_min=0.01,
+                                pos_fold=True)
+    variables = blk_ref.init(jax.random.PRNGKey(1), rows, jplans)
+    ka = sorted(jax.tree_util.keystr(p) for p, _ in
+                jax.tree_util.tree_flatten_with_path(
+                    blk_fold.init(jax.random.PRNGKey(1), rows,
+                                  jplans)["params"])[0])
+    kb = sorted(jax.tree_util.keystr(p) for p, _ in
+                jax.tree_util.tree_flatten_with_path(variables["params"])[0])
+    assert ka == kb  # checkpoint-identical
+
+    def loss(blk, params):
+        out = blk.apply({"params": params}, rows, jplans)
+        return (out.astype(jnp.float32) ** 2).sum(), out
+
+    (l_r, out_r), g_r = jax.value_and_grad(
+        lambda p: loss(blk_ref, p), has_aux=True)(variables["params"])
+    (l_f, out_f), g_f = jax.value_and_grad(
+        lambda p: loss(blk_fold, p), has_aux=True)(variables["params"])
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=2e-5, atol=2e-5)
+    for (pa, ga), (pb, gb) in zip(
+            jax.tree_util.tree_flatten_with_path(g_r)[0],
+            jax.tree_util.tree_flatten_with_path(g_f)[0]):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(gb), np.asarray(ga), rtol=2e-4, atol=2e-4,
+            err_msg=jax.tree_util.keystr(pa))

@@ -193,11 +193,12 @@ def test_group_points_padded_matches_first_k():
         np.testing.assert_allclose(out[slot, take:], 0.0)
 
 
-def test_segment_max_grad_routes_ties_to_first():
-    """The segment_max VJP sends each segment's cotangent to the FIRST
+def test_segment_max_grad_routes_ties_to_first(monkeypatch):
+    """GDMAE_SEGMAX_BWD=exact (the torch-parity opt-in, pinned by the
+    trajectory suites): the VJP sends each segment's cotangent to the FIRST
     element attaining the max (torch_scatter argmax-backward semantics,
-    reference dyn_vfe.py:107-113) — NOT split across ties like the native
-    jax.ops.segment_max gradient (ReLU'd features tie at 0.0 constantly)."""
+    reference dyn_vfe.py:107-113)."""
+    monkeypatch.setenv("GDMAE_SEGMAX_BWD", "exact")
     vals = jnp.asarray([[0., 1.], [0., 1.], [1., 0.], [0., 0.], [0., 0.]])
     seg = jnp.asarray([0, 0, 0, 1, 1], jnp.int32)
 
@@ -209,4 +210,24 @@ def test_segment_max_grad_routes_ties_to_first():
                        [1., 0.],   # seg0 col0: unique max
                        [1., 1.],   # seg1: tie 0.0 at idx 3 and 4 -> idx 3
                        [0., 0.]], np.float32)
+    np.testing.assert_array_equal(np.asarray(g), expect)
+
+
+def test_segment_max_grad_default_splits_ties(monkeypatch):
+    """Runtime default: the cotangent splits evenly across tied maxima
+    (5 ms/step cheaper on v5e; identical to first-winner whenever the max
+    is unique — which is always, on realistic continuous features:
+    test_train_trajectory.py::test_segmax_split_gradient_deviation)."""
+    monkeypatch.delenv("GDMAE_SEGMAX_BWD", raising=False)
+    vals = jnp.asarray([[0., 1.], [0., 1.], [1., 0.], [0., 0.], [0., 0.]])
+    seg = jnp.asarray([0, 0, 0, 1, 1], jnp.int32)
+
+    g = jax.grad(
+        lambda v: scatter.segment_max(v, seg, 3, indices_are_sorted=True).sum()
+    )(vals)
+    expect = np.array([[0., 0.5],
+                       [0., 0.5],
+                       [1., 0.],
+                       [0.5, 0.5],
+                       [0.5, 0.5]], np.float32)
     np.testing.assert_array_equal(np.asarray(g), expect)

@@ -46,6 +46,10 @@ from gdmae_tpu.runtime import torch_import
 @pytest.fixture(autouse=True)
 def _exact_gelu(monkeypatch):
     monkeypatch.setenv("GDMAE_EXACT_GELU", "1")
+    # torch_scatter first-winner tie routing (runtime default is the
+    # tie-splitting backward — identical on tie-free realistic data, see
+    # test_segmax_split_gradient_deviation)
+    monkeypatch.setenv("GDMAE_SEGMAX_BWD", "exact")
 
 K_STEPS = 6
 SGD_LR = 0.01
@@ -609,3 +613,276 @@ def test_mae_step0_gradient_parity(mae_pair):
     assert noisy_rels and noisy_rels[len(noisy_rels) // 2] < 8e-3, (
         "median encoder-gradient error above the fp32 conditioning floor: "
         f"{noisy_rels[len(noisy_rels) // 2]:.2e}")
+
+
+# ---------------------------------------------------------------------------
+# CenterHead(+IoU head) graph — the flagship Waymo head (VERDICT r4 #4).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def center_pair():
+    """The gd_mae_iou.yaml-style graph (DynVFE -> SPTBackbone ->
+    SSTBEVBackbone -> CenterHead with IoU head) built twice with identical
+    weights: reference torch modules (gaussian-heatmap target assign on
+    CPU per sample, focal/reg/IoU losses — reference
+    center_head.py:106-277) and our flax network.  The reference's CUDA
+    boxes_iou3d_gpu is replaced by the exact polygon-clip CPU oracle in
+    ref_loader (the loss uses it through .detach(), so numpy is faithful)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    from pathlib import Path
+    from gdmae_tpu.config import cfg_from_yaml_file
+    from gdmae_tpu.models.detectors.detector3d_template import build_network
+    from gdmae_tpu.runtime import train as train_lib
+
+    repo = Path(__file__).resolve().parent.parent
+    cfg = cfg_from_yaml_file(
+        str(repo / "tools/cfgs/waymo_models/gd_mae_iou.yaml"))
+    # the head's CLASS_NAMES_EACH_HEAD matches against the DATASET's class
+    # list — keep the waymo names or the Vehicle branch silently shrinks
+    meta = _small_meta()
+    meta.class_names = list(cfg.CLASS_NAMES)
+    grid = np.array([64, 64, 1])
+    pcr = np.array(meta.point_cloud_range, np.float32)
+    vsz = [0.32, 0.32, 4.0]
+
+    dyn_vfe = ref_loader.load_ref("pcdet.models.backbones_3d.vfe.dyn_vfe")
+    spt = ref_loader.load_ref("pcdet.models.backbones_3d.spt_backbone")
+    bev = ref_loader.load_ref("pcdet.models.backbones_2d.sst_bev_backbone")
+    ch = ref_loader.load_ref("pcdet.models.dense_heads.center_head")
+
+    torch.manual_seed(3)
+
+    class RefCenter(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.vfe = dyn_vfe.DynVFE(
+                model_cfg=cfg.MODEL.VFE, num_point_features=4,
+                voxel_size=vsz, point_cloud_range=pcr, grid_size=grid)
+            self.backbone_3d = spt.SPTBackbone(
+                model_cfg=cfg.MODEL.BACKBONE_3D, input_channels=128,
+                grid_size=np.array([64, 64]), voxel_size=vsz,
+                point_cloud_range=pcr)
+            self.backbone_2d = bev.SSTBEVBackbone(
+                model_cfg=cfg.MODEL.BACKBONE_2D)
+            self.dense_head = ch.CenterHead(
+                model_cfg=cfg.MODEL.DENSE_HEAD, input_channels=128,
+                num_class=3, class_names=list(cfg.CLASS_NAMES),
+                grid_size=grid, point_cloud_range=pcr, voxel_size=vsz,
+                predict_boxes_when_training=False)
+
+        def forward(self, bd):
+            for m in (self.vfe, self.backbone_3d, self.backbone_2d,
+                      self.dense_head):
+                bd = m(bd)
+            loss, tb = self.dense_head.get_loss()
+            return loss
+
+    ref_model = RefCenter().train()
+    sd0 = {k: v.detach().clone().numpy()
+           for k, v in ref_model.state_dict().items()}
+
+    pts, gt = _synth_scene(6, meta.max_points)
+    # class ids follow cfg.CLASS_NAMES (Vehicle/Pedestrian/Cyclist) —
+    # _synth_scene's KITTI-anchor-matched sizes are still valid boxes for
+    # the gaussian assigner (no anchor-tie concerns here)
+
+    b3d = cfg.MODEL.BACKBONE_3D
+    b3d.pop("TPU_WINDOW_CAPS", None)
+    model = build_network(cfg.MODEL, num_class=3, dataset=meta)
+    batch = {"points": jnp.asarray(pts[None]),
+             "point_mask": jnp.ones((1, meta.max_points), bool),
+             "gt_boxes": jnp.asarray(gt)}
+    with jax.default_matmul_precision("highest"):
+        params, batch_stats = train_lib.init_model(model, batch, seed=0)
+        params, batch_stats, report = torch_import.import_torch_state(
+            sd0, params, batch_stats)
+    assert report["unmapped"] == [], report["unmapped"][:10]
+    assert report["skipped"] == [], report["skipped"][:10]
+
+    strides = {}
+    for i, src in enumerate(b3d.FEATURES_SOURCE):
+        s = int(b3d.FUSE_LAYER[src].UPSAMPLE_STRIDE)
+        strides[f"backbone_3d/fuse/deblock_{i}/kernel"] = s
+
+    return dict(cfg=cfg, meta=meta, ref_model=ref_model, sd0=sd0,
+                model=model, params=params, batch_stats=batch_stats,
+                batch=batch, pts=pts, gt=gt, deconv_strides=strides)
+
+
+def test_center_head_step0_gradient_parity(center_pair):
+    """d(focal+reg+IoU)/d(theta) per tensor through the full CenterHead
+    graph matches the reference backward — the loss surface behind every
+    Waymo number in BASELINE.md (reference center_head.py:233-277).  Same
+    module-aware tolerances as the anchor-head test (the SST encoder
+    backward carries ~4e-3 fp32 conditioning noise)."""
+    import torch
+    p = center_pair
+    _load_sd(p["ref_model"], p["sd0"])
+    p["ref_model"].zero_grad()
+    loss = p["ref_model"](_ref_batch(torch, p["pts"], p["gt"]))
+    loss.backward()
+    ref_grads = {k: prm.grad.detach().numpy()
+                 for k, prm in p["ref_model"].named_parameters()
+                 if prm.grad is not None}
+
+    def loss_fn(params):
+        out, _ = p["model"].apply(
+            {"params": params, "batch_stats": p["batch_stats"]},
+            p["batch"], train=True,
+            rngs={"mae_mask": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"])
+        return out["loss"]
+
+    with jax.default_matmul_precision("highest"):
+        jloss, grads = jax.value_and_grad(loss_fn)(p["params"])
+    np.testing.assert_allclose(float(jloss), float(loss.item()), rtol=1e-4)
+
+    got = torch_import.export_torch_state(
+        grads, deconv_strides=p["deconv_strides"])
+    checked, bad, noisy_rels = 0, [], []
+    for name, ref_g in ref_grads.items():
+        assert name in got, f"gradient for {name} not exported"
+        g = np.asarray(got[name], np.float64)
+        r = np.asarray(ref_g, np.float64)
+        rn = np.linalg.norm(r)
+        if rn < 1e-5:
+            # e.g. conv biases directly followed by BN: the mean
+            # subtraction cancels the bias direction, leaving an eps-level
+            # gradient on BOTH sides — relative comparison is meaningless,
+            # require agreement that it is tiny
+            assert np.linalg.norm(g) < 1e-4, (name, np.linalg.norm(g))
+            continue
+        rel = np.linalg.norm(g - r) / rn
+        checked += 1
+        ill = name.startswith(("backbone_3d.sst_blocks", "vfe"))
+        if ill:
+            noisy_rels.append(rel)
+        if rel > (6e-2 if ill else 2e-3):
+            bad.append((name, rel, rn))
+    assert checked > 100, checked
+    assert not bad, bad[:20]
+    noisy_rels.sort()
+    assert noisy_rels and noisy_rels[len(noisy_rels) // 2] < 8e-3, (
+        "median encoder-gradient error above the fp32 conditioning floor: "
+        f"{noisy_rels[len(noisy_rels) // 2]:.2e}")
+
+
+def test_center_head_k_step_sgd_trajectory(center_pair):
+    """K fwd+bwd+clip+SGD steps on the CenterHead graph: per-step loss
+    trajectory tracks the reference (update ~ grad keeps framework noise
+    linear — the same structure and tolerance schedule as
+    test_k_step_sgd_trajectory_and_bn_stats on the anchor graph)."""
+    import torch
+    from torch.nn.utils import clip_grad_norm_
+    import optax
+    from gdmae_tpu.runtime import train as train_lib
+
+    p = center_pair
+    _load_sd(p["ref_model"], p["sd0"])
+    opt = torch.optim.SGD(p["ref_model"].parameters(), lr=SGD_LR)
+    ref_losses = []
+    for _ in range(K_STEPS):
+        opt.zero_grad()
+        loss = p["ref_model"](_ref_batch(torch, p["pts"], p["gt"]))
+        loss.backward()
+        clip_grad_norm_(p["ref_model"].parameters(), CLIP)
+        opt.step()
+        ref_losses.append(float(loss.item()))
+
+    tx = optax.chain(optax.clip_by_global_norm(CLIP), optax.sgd(SGD_LR))
+    with jax.default_matmul_precision("highest"):
+        state = train_lib.TrainState.create(p["params"], p["batch_stats"], tx)
+        step = train_lib.make_train_step(p["model"], donate=False)
+        key = jax.random.PRNGKey(0)
+        got_losses = []
+        for _ in range(K_STEPS):
+            state, metrics = step(state, p["batch"], key)
+            got_losses.append(float(metrics["loss"]))
+
+    # per-step schedule: steps 0-2 track at <=1e-5 relative (measured
+    # 2e-6 / 1e-6 / 1e-5); the late steps compound faster than the anchor
+    # graph's — the IoU-loss target is the 3D IoU of DECODED boxes
+    # (center_head.py:259-273), so parameter noise moves the target itself,
+    # and the focal heatmap loss is spiky under lr=0.01 SGD (ref losses
+    # swing 24.8->31.8->24.1 over 6 steps).  Measured splits:
+    # 2e-6 / 1e-6 / 1e-5 / 1.1e-2 / 2e-2 / 5.4e-2.
+    rtols = [1e-5, 1e-4, 1e-3, 2e-2, 4e-2, 8e-2]
+    for i, (g, r) in enumerate(zip(got_losses, ref_losses)):
+        np.testing.assert_allclose(
+            g, r, rtol=rtols[i], atol=1e-5,
+            err_msg=f"step {i}: ref={ref_losses} got={got_losses}")
+    assert abs(ref_losses[-1] - ref_losses[0]) > 1e-4  # it really trained
+
+
+def test_segmax_split_gradient_deviation(det_pair):
+    """Pin the gradient deviation of jax's tie-splitting segment_max
+    backward (GDMAE_SEGMAX_BWD=split, ~5 ms/step cheaper than the exact
+    first-winner bookkeeping on v5e — PERFORMANCE.md r4) vs the
+    torch-parity first-winner form on the detection graph (VERDICT r4 #6).
+
+    Unlike the gelu fast path, ties here are NOT rare: the VFE's ReLU'd
+    features tie at exactly 0.0 whenever a pillar's max is dead, so the
+    split form reroutes real cotangent mass.  The gates freeze the
+    measured envelope; the default stays decided by this evidence (see
+    ops/scatter._segment_max_bwd)."""
+    p = det_pair
+
+    def grads_with(mode):
+        import os
+        old = os.environ.pop("GDMAE_SEGMAX_BWD", None)
+        if mode:
+            os.environ["GDMAE_SEGMAX_BWD"] = mode
+        try:
+            def loss_fn(params):
+                out, _ = p["model"].apply(
+                    {"params": params, "batch_stats": p["batch_stats"]},
+                    p["batch"], train=True,
+                    rngs={"mae_mask": jax.random.PRNGKey(0)},
+                    mutable=["batch_stats"])
+                return out["loss"]
+            with jax.default_matmul_precision("highest"):
+                return jax.value_and_grad(loss_fn)(p["params"])
+        finally:
+            os.environ.pop("GDMAE_SEGMAX_BWD", None)
+            if old is not None:
+                os.environ["GDMAE_SEGMAX_BWD"] = old
+
+    loss_x, g_exact = grads_with("exact")
+    loss_s, g_split = grads_with("split")
+    # the FORWARD is identical — only the backward tie rule differs
+    np.testing.assert_allclose(float(loss_s), float(loss_x), rtol=1e-6)
+
+    flat_x = jax.tree_util.tree_flatten_with_path(g_exact)[0]
+    flat_s = jax.tree_util.tree_flatten_with_path(g_split)[0]
+    rels, vfe_rels, checked = [], [], 0
+    for (path_x, vx), (path_s, vs) in zip(flat_x, flat_s):
+        assert path_x == path_s
+        name = jax.tree_util.keystr(path_x)
+        r = np.asarray(vx, np.float64)
+        g = np.asarray(vs, np.float64)
+        rn = np.linalg.norm(r)
+        if rn < 1e-10:
+            continue
+        rel = np.linalg.norm(g - r) / rn
+        checked += 1
+        rels.append((rel, name))
+        if "vfe" in name:
+            vfe_rels.append(rel)
+    assert checked > 100, checked
+    rels.sort()
+    med = rels[len(rels) // 2][0]
+    mx = rels[-1]
+    print(f"\nsegmax split deviation: median {med:.3e}  "
+          f"max {mx[0]:.3e} ({mx[1]})  "
+          f"vfe median {sorted(vfe_rels)[len(vfe_rels) // 2]:.3e}")
+    # MEASURED (r5): median 0.0, max 0.0 — on realistic continuous
+    # features no pillar's channel max is ever attained twice, so the two
+    # tie rules coincide exactly; this is the evidence behind shipping the
+    # cheaper split form as the default (ops/scatter._segment_max_bwd).
+    # The tie rules themselves differ (test_scatter.py pins both), so a
+    # nonzero deviation here means the data regime changed — re-evaluate
+    # the default if this gate ever fires.
+    assert med < 1e-6, f"median {med:.2e}"
+    assert mx[0] < 1e-4, mx

@@ -1,0 +1,86 @@
+"""Per-core host-pipeline cost budget for the MAE train loader (VERDICT
+r4 #3 / weak #2): time each host-prep component at the bench workload
+(batch 16, 16384-pt KITTI-like scans) and derive scans/s-per-host-core.
+
+The sustained gap on the 1-core dev VM is loader-bound; this quantifies
+exactly what a production TPU host (dozens of loader cores) must absorb.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    from gdmae_tpu.config import cfg_from_yaml_file
+    from gdmae_tpu.datasets.processor.host_pillarize import (
+        mae_host_targets, pillarize_batch_np,
+    )
+    from gdmae_tpu.models.backbones_3d.spt_backbone import (
+        mae_dec_cap, mae_enc_cap)
+    from gdmae_tpu.ops.window_host import mae_host_plans
+    from tools.bench_common import synth_scan
+
+    cfg = cfg_from_yaml_file(
+        str(REPO / "tools/cfgs/kitti_models/gd_mae_ssl.yaml"))
+    b3d = cfg.MODEL.BACKBONE_3D
+    pcr = [0, -39.68, -3, 69.12, 39.68, 1]
+    vsz = [0.32, 0.32, 4]
+    grid = [216, 248]
+    bsz, n, m = 16, 16384, 8192
+
+    reps = 6
+    t = {"scan_gen": [], "pillarize": [], "mae_targets": [], "win_plans": []}
+    for r in range(reps):
+        rng = np.random.RandomState(r)
+        t0 = time.perf_counter()
+        pts = synth_scan(rng, bsz, n)
+        t["scan_gen"].append(time.perf_counter() - t0)
+        pmask = np.ones((bsz, n), bool)
+
+        t0 = time.perf_counter()
+        tabs, pts2, pm2 = pillarize_batch_np(pts, pmask, pcr, vsz, grid, m)
+        t["pillarize"].append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        host = mae_host_targets(
+            pts2, pm2, pcr, vsz, grid, m, float(b3d.MASK_CONFIG.RATIO),
+            int(b3d.MASK_CONFIG.NUM_GT_POINTS), mae_dec_cap(b3d, m),
+            np.random.default_rng(r), m_enc=mae_enc_cap(b3d, m),
+            tables=tabs)
+        t["mae_targets"].append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        mae_host_plans(b3d, tabs["host_pillar_coords"],
+                       tabs["host_pillar_mask"], host["host_mae_mask"],
+                       (grid[1], grid[0]))
+        t["win_plans"].append(time.perf_counter() - t0)
+
+    out = {}
+    total_ms = 0.0
+    prep_ms = 0.0
+    for k, v in t.items():
+        ms = float(np.min(v)) * 1e3  # best-of: least-contended run
+        out[f"{k}_ms_per_batch16"] = round(ms, 1)
+        total_ms += ms
+        if k != "scan_gen":  # scan_gen is synthetic-bench-only work
+            prep_ms += ms
+    out["prep_ms_per_batch16"] = round(prep_ms, 1)
+    out["prep_ms_per_scan_per_core"] = round(prep_ms / bsz, 2)
+    out["scans_per_sec_per_core"] = round(1000.0 / (prep_ms / bsz), 1)
+    # cores needed to saturate the measured device step rate
+    for dev_rate in (105.0, 150.0, 200.0):
+        out[f"cores_to_feed_{int(dev_rate)}sps"] = round(
+            dev_rate / (1000.0 / (prep_ms / bsz)), 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
