@@ -412,8 +412,11 @@ def main():
     waymo = {}
     if os.environ.get("GDMAE_BENCH_WAYMO", "1") != "0" and on_tpu:
         import subprocess
-        wb = int(os.environ.get("GDMAE_BENCH_WAYMO_BATCH", "8"))
-        ladder = [wb, wb // 2, wb // 4]
+        # batch 8 / no-remat over-commit HBM (hard crash) on this 15.75G
+        # chip; measured per-scan rates at 468x468: b2 10.59 > b4 10.09 >
+        # b6 10.07 (r5 sweep) — try the two best and keep the winner
+        ladder_env = os.environ.get("GDMAE_BENCH_WAYMO_BATCH")
+        ladder = [int(ladder_env)] if ladder_env else [4, 2]
         for wbs_try in [b for b in ladder if b >= 1]:
             try:
                 r = subprocess.run(
@@ -426,8 +429,11 @@ def main():
             line = next((ln for ln in reversed(r.stdout.splitlines())
                          if ln.startswith("{")), None)
             if r.returncode == 0 and line:
-                waymo = json.loads(line)
-                break
+                cand = json.loads(line)
+                if cand.get("waymo_scans_per_sec", 0) > waymo.get(
+                        "waymo_scans_per_sec", 0):
+                    waymo = cand
+                continue
             print(f"waymo batch {wbs_try} failed (rc={r.returncode}):\n"
                   f"{r.stderr[-1500:]}", file=sys.stderr, flush=True)
 

@@ -36,7 +36,7 @@ def main():
     grid = [216, 248]
     bsz, n, m = 16, 16384, 8192
 
-    reps = 6
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     t = {"scan_gen": [], "pillarize": [], "mae_targets": [], "win_plans": []}
     for r in range(reps):
         rng = np.random.RandomState(r)
@@ -63,6 +63,8 @@ def main():
                        (grid[1], grid[0]))
         t["win_plans"].append(time.perf_counter() - t0)
 
+    # best-of-reps: this 1-core VM time-shares with the TPU client and
+    # loader tests, so the MIN is the only uncontended reading
     out = {}
     total_ms = 0.0
     prep_ms = 0.0
