@@ -125,6 +125,15 @@ def main():
             batch = {"points": jnp.asarray(pts),
                      "point_mask": jnp.asarray(pmask)}
             batch.update({k: jnp.asarray(v) for k, v in tabs.items()})
+            if os.environ.get("GDMAE_BENCH_HOST_VFE", "1") != "0":
+                from gdmae_tpu.datasets.processor.host_pillarize import (
+                    vfe_host_features_cfg,
+                )
+                batch.update({k: jnp.asarray(v) for k, v in
+                              vfe_host_features_cfg(
+                                  cfg.MODEL.VFE, pts, pmask, tabs,
+                                  meta.point_cloud_range,
+                                  meta.voxel_size).items()})
         if os.environ.get("GDMAE_BENCH_HOST_GT", "1") != "0":
             from gdmae_tpu.datasets.processor.host_pillarize import (
                 mae_host_targets,

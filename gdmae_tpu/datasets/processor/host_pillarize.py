@@ -231,3 +231,92 @@ def mae_host_targets(points, point_mask, pc_range, voxel_size, grid_size,
     if keep_idx_out is not None:
         out["host_mae_keep_idx"] = keep_idx_out
     return out
+
+
+def vfe_host_features(sorted_points, sorted_mask, tables, pc_range,
+                      voxel_size, use_abs_xyz=True, use_cluster=True,
+                      with_dist=False):
+    """Numpy twin of DynVFE's per-point feature build (``TYPE: mean``).
+
+    The feature tensor fed to the VFE point MLP is pure index/geometry work
+    with no gradient — per-point pillar-center and cluster-mean offsets
+    (reference pcdet/models/backbones_3d/vfe/dyn_vfe.py:88-116).  On device
+    it costs ~7 ms/step of scalar-row gathers + segment sums at batch 16
+    (r5 trace: the (262144, 2|3|4) coord/mean gathers and the per-pillar
+    xyz segment-mean), so like the pillar tables it moves to the loader.
+
+    Args:
+        sorted_points: (B, N, C) float32 — pillar-SORTED points as returned
+            by :func:`pillarize_batch_np` (xyz first).
+        sorted_mask: (B, N) bool — sorted point mask.
+        tables: the ``host_pillar_*`` dict from :func:`pillarize_batch_np`.
+        pc_range / voxel_size: dataset geometry.
+        use_abs_xyz / use_cluster / with_dist: MODEL.VFE flags
+            (USE_ABSLOTE_XYZ / USE_CLUSTER_XYZ / WITH_DISTANCE).
+    Returns:
+        dict with ``host_vfe_pf`` (B, N, F) float32 — rows for invalid /
+        out-of-range points are exact zeros, matching the device's
+        ``* pt_valid`` masking.  Per-pillar means are computed in f64
+        (within ~1e-6 of the device's f32 segment-mean ordering).
+    """
+    pts = np.asarray(sorted_points, np.float32)
+    b, n, c = pts.shape
+    m = tables["host_pillar_start"].shape[1]
+    pc = np.asarray(pc_range, np.float32)
+    vs = np.asarray(voxel_size, np.float32)
+    pp = tables["host_point_pillar"]          # (B, N) in [0..m]
+    coords = tables["host_pillar_coords"]     # (B, M, 2|3) [(iz,) iy, ix]
+    starts = tables["host_pillar_start"]
+    counts = tables["host_pillar_count"]
+    cdim = coords.shape[-1]
+
+    f = 3 + (c if use_abs_xyz else c - 3) + (3 if use_cluster else 0) \
+        + (1 if with_dist else 0)
+    out = np.zeros((b, n, f), np.float32)
+    for s in range(b):
+        valid = (pp[s] < m) & np.asarray(sorted_mask[s], bool)
+        ppc = np.clip(pp[s], 0, m - 1)
+        cyx = coords[s][ppc]                  # (N, 2|3)
+        xyz = pts[s, :, :3]
+        z_center = ((cyx[:, -3].astype(np.float32) + 0.5) * vs[2] + pc[2]
+                    if cdim == 3 else np.float32(0.5 * vs[2] + pc[2]))
+        f_center = np.stack([
+            xyz[:, 0] - ((cyx[:, -1].astype(np.float32) + 0.5) * vs[0] + pc[0]),
+            xyz[:, 1] - ((cyx[:, -2].astype(np.float32) + 0.5) * vs[1] + pc[1]),
+            xyz[:, 2] - z_center,
+        ], axis=-1)
+        feats = [f_center]
+        feats.append(pts[s] if use_abs_xyz else pts[s, :, 3:])
+        if use_cluster:
+            # per-pillar xyz mean over sorted runs via an f64 prefix sum
+            cs = np.concatenate(
+                [np.zeros((1, 3), np.float64),
+                 np.cumsum(xyz.astype(np.float64), axis=0)], axis=0)
+            st = starts[s].astype(np.int64)
+            cnt = counts[s].astype(np.int64)
+            sums = cs[np.clip(st + cnt, 0, n)] - cs[np.clip(st, 0, n)]
+            mean = (sums / np.maximum(cnt, 1)[:, None]).astype(np.float32)
+            feats.append(xyz - mean[ppc])
+        if with_dist:
+            feats.append(np.linalg.norm(xyz, axis=-1, keepdims=True))
+        out[s] = np.concatenate(feats, axis=-1) * valid[:, None]
+    return {"host_vfe_pf": out}
+
+
+def vfe_host_features_cfg(vfe_cfg, sorted_points, sorted_mask, tables,
+                          pc_range, voxel_size):
+    """Config-gated :func:`vfe_host_features`: returns ``{}`` unless the
+    VFE is the shipped DynVFE shape (``TYPE: mean`` with MLPS) and
+    ``TPU_HOST_VFE`` is not disabled (default on, like the other host-prep
+    stages)."""
+    g = (lambda k, d=None: vfe_cfg.get(k, d)) if hasattr(vfe_cfg, "get") \
+        else (lambda k, d=None: getattr(vfe_cfg, k, d))
+    if not bool(g("TPU_HOST_VFE", True)):
+        return {}
+    if g("TYPE", "mean") != "mean" or g("MLPS", None) is None:
+        return {}
+    return vfe_host_features(
+        sorted_points, sorted_mask, tables, pc_range, voxel_size,
+        use_abs_xyz=bool(g("USE_ABSLOTE_XYZ", True)),
+        use_cluster=bool(g("USE_CLUSTER_XYZ", True)),
+        with_dist=bool(g("WITH_DISTANCE", False)))

@@ -198,6 +198,9 @@ class SSTBlock(nn.Module):
     # win_caps must then have one entry per refined level
     pack_pow2: bool = False
     pack_min_t: int = 1  # smallest pow2 packing sub-level (TPU_PACK_MIN_T)
+    # TPU_JOINT_PACK == 'dense': next-fit-decreasing joint packing with
+    # exact window sizes (no pow2 padding) — ~18% smaller budgets
+    dense_pack: bool = False
     # TPU_FUSED_LAYER: run each encoder layer as ONE fused Pallas kernel
     # (ops.pallas.fused_encoder) instead of ~25 XLA passes
     fused_layer: bool = False
@@ -308,7 +311,7 @@ class SSTBlock(nn.Module):
             raw_plans = [
                 window_ops.build_joint_plan(
                     occ, (ny, nx), window, shift, drop_specs,
-                    self.joint_budget)
+                    self.joint_budget, dense_pack=self.dense_pack)
                 for shift in ((0, 0), (window[0] // 2, window[1] // 2))
             ]
             plans = [window_ops.joint_plan_to_tokens(p, c2t, tcell, m)
@@ -674,6 +677,7 @@ class SPTBackbone(nn.Module):
                               if joint_budgets is not None else 0),
                 pack_pow2=bool(cfg.get("TPU_PACK_POW2", False)),
                 pack_min_t=int(cfg.get("TPU_PACK_MIN_T", 1)),
+                dense_pack=cfg.get("TPU_JOINT_PACK", "pow2") == "dense",
                 fused_layer=bool(cfg.get("TPU_FUSED_LAYER", False)),
                 pos_fold=bool(cfg.get("TPU_POS_FOLD", False)),
                 ablate=tuple(cfg.get("TPU_ABLATE", ())),

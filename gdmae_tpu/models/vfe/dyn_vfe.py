@@ -104,7 +104,17 @@ class DynVFE(nn.Module):
             ).reshape(b, m + 1, -1)[:, :m]
 
         sample_type = cfg.get("TYPE", "mean")
-        if sample_type == "mean":
+        # per-point MLP features precomputed by the loader
+        # (host_pillarize.vfe_host_features): the feature build is
+        # gradient-free geometry (pillar-center / cluster-mean offsets) and
+        # its device form is ~7 ms/step of scalar-row gathers + segment
+        # sums at batch 16 (r5 trace) — skip straight to the MLP
+        host_pf = batch_dict.get("host_vfe_pf")
+        use_host_pf = (host_pf is not None and sample_type == "mean"
+                       and cfg.get("MLPS", None) is not None)
+        if use_host_pf:
+            x = None  # only consumed via samp_xyz in the feature build
+        elif sample_type == "mean":
             x = seg_mean(flat_pts)  # (B, M, C)
         elif sample_type == "random":
             # last point (by original order) of each pillar — deterministic
@@ -131,7 +141,9 @@ class DynVFE(nn.Module):
             raise NotImplementedError(sample_type)
 
         mlps = cfg.get("MLPS", None)
-        if mlps is not None:
+        if mlps is not None and use_host_pf:
+            pf = host_pf.astype(self.dtype)  # invalid rows are exact zeros
+        elif mlps is not None:
             use_abs_xyz = cfg.get("USE_ABSLOTE_XYZ", True)
             use_cluster = cfg.get("USE_CLUSTER_XYZ", True)
             with_dist = cfg.get("WITH_DISTANCE", False)
@@ -180,6 +192,7 @@ class DynVFE(nn.Module):
             pf = jnp.concatenate(feats, axis=-1) * pt_valid[..., None].astype(points.dtype)
             pf = pf.astype(self.dtype)
 
+        if mlps is not None:
             for k, channels in enumerate(mlps):
                 for ci, c in enumerate(channels):
                     pf = LinearBNReLU(c, dtype=self.dtype, name=f"mlp{k}_{ci}")(

@@ -75,7 +75,7 @@ def token_cell_index_np(coords, mask, grid_hw):
 
 
 def _joint_plan_single_np(occ_flat, grid_hw, window, shift, drop_specs,
-                          budget):
+                          budget, dense_pack=False):
     """numpy twin of window._joint_plan_single (same variable names)."""
     ny, nx = grid_hw
     wy, wx = window
@@ -100,11 +100,14 @@ def _joint_plan_single_np(occ_flat, grid_hw, window, shift, drop_specs,
     comp = (np.sort(key, axis=-1) & ((1 << shift_bits) - 1)).astype(np.int32)
 
     t_ls = [min(spec.max_tokens, cells) for spec in drop_specs]
-    assert all(t > 0 and (t & (t - 1)) == 0 and t <= 128 for t in t_ls)
+    if not dense_pack:
+        assert all(t > 0 and (t & (t - 1)) == 0 and t <= 128 for t in t_ls)
     t_w = np.zeros((g,), np.int32)
     for spec, t_l in zip(drop_specs, t_ls):
         in_range = (counts >= max(spec.lower, 1)) & (counts < spec.upper)
         t_w = np.where(in_range, t_l, t_w)
+    if dense_pack:
+        t_w = np.where(t_w > 0, np.minimum(counts, t_w), 0)
 
     win_bits = max(int(np.ceil(np.log2(max(g, 2)))), 1)
     tmax = max(t_ls) if t_ls else cells
@@ -112,7 +115,19 @@ def _joint_plan_single_np(occ_flat, grid_hw, window, shift, drop_specs,
     skey = np.sort(sort_key)
     sorted_win = (skey & ((1 << win_bits) - 1)).astype(np.int32)
     sorted_t = (tmax + 1 - (skey >> win_bits)).astype(np.int32)
-    off = np.cumsum(sorted_t) - sorted_t
+    if dense_pack:
+        # next-fit over descending sizes with 128-block alignment
+        # (window.py _joint_plan_single dense branch, same semantics)
+        off = np.zeros((g,), np.int32)
+        cur = 0
+        for i in range(g):
+            t = int(sorted_t[i])
+            if (cur % 128) + t > 128:
+                cur = (cur // 128 + 1) * 128
+            off[i] = cur
+            cur += t
+    else:
+        off = np.cumsum(sorted_t) - sorted_t
     fits = (sorted_t > 0) & (off + sorted_t <= budget)
     overflow = int(np.sum((sorted_t > 0) & np.logical_not(fits)))
 
@@ -166,8 +181,45 @@ def _joint_plan_single_np(occ_flat, grid_hw, window, shift, drop_specs,
                 wid=wid, inv_idx=inv, overflow=overflow)
 
 
+def _nfd_offsets_np(sorted_t):
+    """Next-fit offsets over DESCENDING window sizes with 128-block
+    alignment, batch-vectorized (twin of the lax.scan in
+    window._joint_plan_single's dense branch).
+
+    Within a run of equal sizes ``s`` the layout is closed-form: ``k0``
+    windows finish the current partial block, then ``128 // s`` per full
+    block — so one pass over the (<= 64) distinct sizes replaces the
+    per-window python loop."""
+    b, g = sorted_t.shape
+    off = np.zeros((b, g), np.int64)
+    cur = np.zeros((b,), np.int64)
+    sizes = np.unique(sorted_t)[::-1]
+    for s in sizes:
+        if s <= 0:
+            continue
+        s = int(s)
+        mask = sorted_t == s                       # (B, G)
+        n = mask.sum(axis=1)                       # (B,)
+        j = np.cumsum(mask, axis=1) - 1            # rank within the run
+        rem = 128 - cur % 128
+        k0 = rem // s
+        kf = 128 // s
+        blk_next = (cur // 128 + 1) * 128
+        jj = j - k0[:, None]
+        off_s = np.where(
+            j < k0[:, None], cur[:, None] + j * s,
+            blk_next[:, None] + (jj // kf) * 128 + (jj % kf) * s)
+        off = np.where(mask, off_s, off)
+        jl = n - 1
+        jjl = jl - k0
+        last = np.where(jl < k0, cur + jl * s,
+                        blk_next + (jjl // kf) * 128 + (jjl % kf) * s)
+        cur = np.where(n > 0, last + s, cur)
+    return off.astype(np.int32)
+
+
 def build_joint_plan_np(occupancy, grid_hw, window, shift, drop_specs,
-                        budget):
+                        budget, dense_pack=False):
     """numpy twin of window.build_joint_plan: dict of batched arrays.
 
     Batch-vectorized (the loader runs this 6x per batch — 3 stages x 2
@@ -197,11 +249,14 @@ def build_joint_plan_np(occupancy, grid_hw, window, shift, drop_specs,
     comp = (np.sort(key, axis=-1) & ((1 << shift_bits) - 1)).astype(np.int32)
 
     t_ls = [min(spec.max_tokens, cells) for spec in drop_specs]
-    assert all(t > 0 and (t & (t - 1)) == 0 and t <= 128 for t in t_ls)
+    if not dense_pack:
+        assert all(t > 0 and (t & (t - 1)) == 0 and t <= 128 for t in t_ls)
     t_w = np.zeros((b, g), np.int32)
     for spec, t_l in zip(drop_specs, t_ls):
         in_range = (counts >= max(spec.lower, 1)) & (counts < spec.upper)
         t_w = np.where(in_range, t_l, t_w)
+    if dense_pack:
+        t_w = np.where(t_w > 0, np.minimum(counts, t_w), 0)
 
     win_bits = max(int(np.ceil(np.log2(max(g, 2)))), 1)
     tmax = max(t_ls) if t_ls else cells
@@ -210,7 +265,10 @@ def build_joint_plan_np(occupancy, grid_hw, window, shift, drop_specs,
     skey = np.sort(sort_key, axis=-1)
     sorted_win = (skey & ((1 << win_bits) - 1)).astype(np.int32)  # (B, G)
     sorted_t = (tmax + 1 - (skey >> win_bits)).astype(np.int32)
-    off = np.cumsum(sorted_t, axis=-1) - sorted_t
+    if dense_pack:
+        off = _nfd_offsets_np(sorted_t)
+    else:
+        off = np.cumsum(sorted_t, axis=-1) - sorted_t
     fits = (sorted_t > 0) & (off + sorted_t <= budget)
     overflow = int(np.sum((sorted_t > 0) & np.logical_not(fits)))
 
@@ -309,6 +367,7 @@ def host_joint_plans(b3d_cfg, coords, mask, grid_hw, train=True):
     tok_caps = cfg.get("TPU_TOKEN_CAPS", None)
     pack_pow2 = bool(cfg.get("TPU_PACK_POW2", False))
     pack_min_t = int(cfg.get("TPU_PACK_MIN_T", 1))
+    dense_pack = cfg.get("TPU_JOINT_PACK", "pow2") == "dense" 
 
     b, m, _ = coords.shape
     ny, nx = grid_hw
@@ -342,7 +401,8 @@ def host_joint_plans(b3d_cfg, coords, mask, grid_hw, train=True):
         for j, shift in enumerate(((0, 0),
                                    (window[0] // 2, window[1] // 2))):
             raw = build_joint_plan_np(occ, (ny, nx), window, shift,
-                                      drop_specs, int(budgets[i]))
+                                      drop_specs, int(budgets[i]),
+                                      dense_pack=dense_pack)
             tp = joint_plan_to_tokens_np(raw, c2t, tcell, m)
             out[f"host_win{i}s{j}_tok_src"] = tp["tok_src"]
             out[f"host_win{i}s{j}_tok_valid"] = tp["tok_valid"]

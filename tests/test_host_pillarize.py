@@ -136,3 +136,68 @@ def test_dynvfe_host_pillarize_matches_device():
         np.testing.assert_allclose(
             np.asarray(out_dev[key]), np.asarray(out_host[key]),
             rtol=1e-6, atol=1e-6, err_msg=key)
+
+
+def test_dynvfe_host_features_match_device():
+    """DynVFE fed loader-precomputed per-point MLP features
+    (vfe_host_features) == the in-graph feature build, including the
+    WITH_DISTANCE branch and train-mode BN statistics."""
+    import jax
+    from gdmae_tpu.datasets.processor.host_pillarize import (
+        pillarize_batch_np, vfe_host_features_cfg)
+    from gdmae_tpu.models.vfe.dyn_vfe import DynVFE
+
+    rng = np.random.RandomState(11)
+    b, n, cap = 2, 1024, 512
+    pts4 = np.zeros((b, n, 4), np.float32)
+    pmask = np.ones((b, n), bool)
+    for s in range(b):
+        xyz, msk = _clustered_scan(rng, n)
+        pts4[s, :, :3] = xyz
+        pts4[s, :, 3] = rng.rand(n)
+        pmask[s] = msk
+
+    cfg = {"TYPE": "mean", "MLPS": [[16, 32]],
+           "USE_ABSLOTE_XYZ": True, "USE_CLUSTER_XYZ": True,
+           "WITH_DISTANCE": True}
+    vfe = DynVFE(model_cfg=cfg, num_point_features=4,
+                 point_cloud_range=tuple(PC_RANGE), voxel_size=tuple(VOXEL),
+                 grid_size=GRID, max_pillars=cap)
+
+    tabs, pts_s, pm_s = pillarize_batch_np(
+        pts4, pmask, PC_RANGE, VOXEL, GRID, cap)
+    base = {"points": jnp.asarray(pts_s), "point_mask": jnp.asarray(pm_s)}
+    base.update({k: jnp.asarray(v) for k, v in tabs.items()})
+    variables = vfe.init({"params": jax.random.PRNGKey(0)},
+                         dict(base), train=False)
+
+    hostf = vfe_host_features_cfg(cfg, pts_s, pm_s, tabs, PC_RANGE, VOXEL)
+    assert set(hostf) == {"host_vfe_pf"}
+    with_pf = dict(base)
+    with_pf.update({k: jnp.asarray(v) for k, v in hostf.items()})
+
+    # train=True so the masked-BN batch statistics (which see the pf
+    # tensor directly) are covered as well as the outputs
+    out_dev, stats_dev = vfe.apply(
+        variables, dict(base), train=True, mutable=["batch_stats"])
+    out_host, stats_host = vfe.apply(
+        variables, with_pf, train=True, mutable=["batch_stats"])
+
+    for key in ("pillar_features", "pillar_coords", "pillar_mask",
+                "point_pillar", "point_valid"):
+        np.testing.assert_allclose(
+            np.asarray(out_dev[key]), np.asarray(out_host[key]),
+            rtol=1e-5, atol=1e-5, err_msg=key)
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-5),
+        stats_dev, stats_host)
+
+    # opt-out gate
+    assert vfe_host_features_cfg(
+        {"TYPE": "mean", "MLPS": [[16]], "TPU_HOST_VFE": False},
+        pts_s, pm_s, tabs, PC_RANGE, VOXEL) == {}
+    # non-mean sampling keeps the in-graph build
+    assert vfe_host_features_cfg(
+        {"TYPE": "nearest", "MLPS": [[16]]},
+        pts_s, pm_s, tabs, PC_RANGE, VOXEL) == {}

@@ -143,3 +143,32 @@ def test_mae_graph_identical_with_host_plans():
 
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     assert float(l0) == float(l1)
+
+
+@pytest.mark.parametrize("shift", [(0, 0), (4, 4), (3, 5)])
+def test_joint_plan_dense_exact(shift):
+    """TPU_JOINT_PACK: dense — host NFD layout == device lax.scan layout,
+    bit-exact (including the vectorized per-size-group closed form)."""
+    rng = np.random.RandomState(4)
+    ny, nx = 40, 56
+    occ = _occ(rng, 3, ny, nx, density=0.15)
+    specs = w.packing_specs(
+        (w.DropSpec(16, 1, 8), w.DropSpec(32, 8, 33), w.DropSpec(64, 33, 65)),
+        64)
+    budget = 1024
+    jp = w.build_joint_plan(jnp.asarray(occ), (ny, nx), (8, 8), shift,
+                            specs, budget, dense_pack=True)
+    hp = wh.build_joint_plan_np(occ, (ny, nx), (8, 8), shift, specs, budget,
+                                dense_pack=True)
+    np.testing.assert_array_equal(np.asarray(jp.tok_src), hp["tok_src"])
+    np.testing.assert_array_equal(np.asarray(jp.tok_valid), hp["tok_valid"])
+    np.testing.assert_array_equal(np.asarray(jp.tok_incell),
+                                  hp["tok_incell"])
+    np.testing.assert_array_equal(np.asarray(jp.wid), hp["wid"])
+    np.testing.assert_array_equal(np.asarray(jp.inv_idx), hp["inv_idx"])
+    assert int(jp.overflow) == int(hp["overflow"])
+    # dense really is denser: strictly more valid tokens per used block
+    hp2 = wh.build_joint_plan_np(occ, (ny, nx), (8, 8), shift, specs,
+                                 budget)
+    used = lambda p: int(np.asarray(p["inv_idx"]).max())
+    assert used(hp) <= used(hp2)

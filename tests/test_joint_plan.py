@@ -214,3 +214,74 @@ def test_pos_fold_matches_materialized_pos():
         np.testing.assert_allclose(
             np.asarray(gb), np.asarray(ga), rtol=2e-4, atol=2e-4,
             err_msg=jax.tree_util.keystr(pa))
+
+
+def test_joint_plan_dense_covers_and_aligns():
+    """Dense (NFD) packing keeps every invariant of the pow2 layout:
+    exact coverage, exact inverse, window integrity, and no window
+    straddles a 128-token attention block."""
+    rng = np.random.RandomState(5)
+    b, ny, nx = 2, 40, 48
+    occ = _rand_occ(rng, b, ny, nx)
+    budget = 1024
+    for shift in ((0, 0), (4, 4)):
+        plan = W.build_joint_plan(occ, (ny, nx), (8, 8), shift, PACKED,
+                                  budget, dense_pack=True)
+        assert int(plan.overflow) == 0
+        src = np.asarray(plan.tok_src)
+        val = np.asarray(plan.tok_valid)
+        wid = np.asarray(plan.wid)
+        inv = np.asarray(plan.inv_idx)
+        occ_np = np.asarray(occ).reshape(b, ny * nx)
+        for bi in range(b):
+            cells = src[bi][val[bi]]
+            assert len(set(cells.tolist())) == len(cells)
+            assert set(cells.tolist()) == \
+                set(np.nonzero(occ_np[bi])[0].tolist())
+            for cell in np.nonzero(occ_np[bi])[0]:
+                pos = inv[bi, cell]
+                assert pos < budget and src[bi, pos] == cell
+            for wi in set(wid[bi][val[bi]].tolist()):
+                slots = np.nonzero(wid[bi] == wi)[0]
+                lo, hi = slots.min(), slots.max()
+                assert hi - lo < 128 and lo // 128 == hi // 128, (wi, lo, hi)
+
+
+def test_joint_dense_shift_block_matches_pow2():
+    """CanvasShiftBlock outputs are IDENTICAL under dense and pow2 joint
+    packing at zero overflow (the layout changes, the math does not)."""
+    from gdmae_tpu.models.model_utils.sst_layers import CanvasShiftBlock
+
+    rng = np.random.RandomState(6)
+    b, ny, nx, m, c = 2, 32, 32, 96, 32
+    coords = np.stack([rng.randint(0, ny, (b, m)),
+                       rng.randint(0, nx, (b, m))], -1)
+    mask = np.ones((b, m), bool)
+    for bi in range(b):
+        cells = coords[bi, :, 0] * nx + coords[bi, :, 1]
+        _, first = np.unique(cells, return_index=True)
+        keep = np.zeros(m, bool)
+        keep[first] = True
+        mask[bi] = keep
+    coords_j, mask_j = jnp.asarray(coords), jnp.asarray(mask)
+    occ = W.occupancy_from_coords(coords_j, mask_j, (ny, nx))
+    c2t = W.build_cell2tok(coords_j, mask_j, (ny, nx))
+    tcell = W.token_cell_index(coords_j, mask_j, (ny, nx))
+    rows = jnp.asarray(rng.randn(b, m, c).astype(np.float32))
+
+    outs = {}
+    for dense in (False, True):
+        plans = [
+            W.joint_plan_to_tokens(
+                W.build_joint_plan(occ, (ny, nx), (8, 8), s, PACKED, 512,
+                                   dense_pack=dense), c2t, tcell, m)
+            for s in ((0, 0), (4, 4))
+        ]
+        assert all(int(p.overflow) == 0 for p in plans)
+        blk = CanvasShiftBlock(d_model=c, nhead=4, dim_feedforward=64,
+                               window=(8, 8))
+        import jax
+        var = blk.init(jax.random.PRNGKey(0), rows, plans)
+        outs[dense] = np.asarray(blk.apply(var, rows, plans))
+    np.testing.assert_allclose(outs[False], outs[True], rtol=2e-5,
+                               atol=2e-5)

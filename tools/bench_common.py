@@ -150,13 +150,17 @@ def window_caps_for(pts, mask_ratio=0.85, margin=1.25, drop_specs=None,
 
 
 def joint_budgets_for(pts, mask_ratio=0.85, margin=1.25, drop_specs=None,
-                      geom: BenchGeom = KITTI_GEOM):
+                      geom: BenchGeom = KITTI_GEOM, pack: str = "pow2"):
     """Zero-overflow per-stage JOINT token budgets for THIS data
     (ops.window.JointPlan): max over samples of the sample's TOTAL padded
     tokens sum_l n_l * T_l, x margin, rounded up to 128.  Unlike per-level
     caps (max per level independently), samples never peak every level at
     once, so the joint budget is ~1.5-2x tighter (measured 5120 -> 4096 at
-    MAE-bench stage 2)."""
+    MAE-bench stage 2).
+
+    ``pack``: 'pow2' (each window padded to its level's max_tokens slot) or
+    'dense' (TPU_JOINT_PACK: dense — next-fit-decreasing with exact window
+    sizes and 128-block alignment, same layout as the plan builders)."""
     if drop_specs is None:
         drop_specs = [(16, 1, 16), (32, 16, 32), (64, 32, 10 ** 9)]
     drop_specs = [tuple(int(v) for v in s) for s in drop_specs]
@@ -169,9 +173,24 @@ def joint_budgets_for(pts, mask_ratio=0.85, margin=1.25, drop_specs=None,
         for stage in range(3):
             win = (cy // 8) * ((nx + 7) // 8) + cx // 8
             _, cnt = np.unique(win, return_counts=True)
-            tot = sum(
-                int(((cnt >= max(lo, 1)) & (cnt < hi)).sum()) * min(mt, 64)
-                for mt, lo, hi in drop_specs)
+            if pack == "dense":
+                sizes = np.zeros_like(cnt)
+                for mt, lo, hi in drop_specs:
+                    sel = (cnt >= max(lo, 1)) & (cnt < hi)
+                    sizes = np.where(sel, np.minimum(cnt, min(mt, 64)),
+                                     sizes)
+                off = 0
+                for t in np.sort(sizes[sizes > 0])[::-1]:
+                    t = int(t)
+                    if (off % 128) + t > 128:
+                        off = (off // 128 + 1) * 128
+                    off += t
+                tot = off
+            else:
+                tot = sum(
+                    int(((cnt >= max(lo, 1)) & (cnt < hi)).sum())
+                    * min(mt, 64)
+                    for mt, lo, hi in drop_specs)
             joint[stage] = max(joint[stage], tot)
             cy, cx, ny, nx = _downsample_cells(cy, cx, ny, nx)
     return [int(-(-int(j * margin) // 128) * 128) for j in joint]

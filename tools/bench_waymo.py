@@ -105,6 +105,15 @@ def main():
         wbatch = {"points": jnp.asarray(wpts_h),
                   "point_mask": jnp.asarray(wmask_h)}
         wbatch.update({k: jnp.asarray(v) for k, v in tabs.items()})
+        if os.environ.get("GDMAE_BENCH_HOST_VFE", "1") != "0":
+            from gdmae_tpu.datasets.processor.host_pillarize import (
+                vfe_host_features_cfg,
+            )
+            wbatch.update({k: jnp.asarray(v) for k, v in
+                           vfe_host_features_cfg(
+                               cfg.MODEL.VFE, wpts_h, wmask_h, tabs,
+                               wmeta.point_cloud_range,
+                               wmeta.voxel_size).items()})
     if os.environ.get("GDMAE_BENCH_HOST_GT", "1") != "0":
         from gdmae_tpu.datasets.processor.host_pillarize import (
             mae_host_targets,

@@ -70,6 +70,11 @@ def capture(out_dir="/tmp/jaxtrace"):
         meta.grid_size, meta.max_pillars)
     batch = {"points": jnp.asarray(pts), "point_mask": jnp.asarray(pmask)}
     batch.update({k: jnp.asarray(v) for k, v in tabs.items()})
+    from gdmae_tpu.datasets.processor.host_pillarize import (
+        vfe_host_features_cfg)
+    batch.update({k: jnp.asarray(v) for k, v in vfe_host_features_cfg(
+        cfg.MODEL.VFE, pts, pmask, tabs,
+        meta.point_cloud_range, meta.voxel_size).items()})
     host = mae_host_targets(
         pts, pmask, meta.point_cloud_range, meta.voxel_size,
         meta.grid_size, meta.max_pillars, float(b3d.MASK_CONFIG.RATIO),

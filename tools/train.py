@@ -138,12 +138,21 @@ def main():
             pillarize_batch_np,
         )
 
+        from gdmae_tpu.datasets.processor.host_pillarize import (
+            vfe_host_features_cfg,
+        )
+
         def host_pil_fn(bt):
             tabs, pts_s, pm_s = pillarize_batch_np(
                 bt["points"], bt["point_mask"], meta.point_cloud_range,
                 meta.voxel_size, meta.grid_size, meta.max_pillars)
             bt["points"], bt["point_mask"] = pts_s, pm_s
             bt.update(tabs)
+            # per-point VFE MLP features too (gradient-free geometry;
+            # ~7 ms/step of device gathers at batch 16 — r5 trace)
+            bt.update(vfe_host_features_cfg(
+                cfg_.MODEL.VFE, pts_s, pm_s, tabs,
+                meta.point_cloud_range, meta.voxel_size))
 
         host_prep_fns.append(host_pil_fn)
     if (b3d.get("NAME") == "SPTBackboneMAE"
