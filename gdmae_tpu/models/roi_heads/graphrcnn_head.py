@@ -52,9 +52,15 @@ class AttnGNNLayer(nn.Module):
 
         outs = []
         for li, mlp in enumerate([int(m) for m in cfg.MLPS]):
+            # neighbor gather as C-contiguous ROW gathers: an index tensor
+            # broadcast over the channel dim keeps XLA at row granularity.
+            # The earlier per-element form (operand and index both expanded
+            # to (G, K, k, C)) lowered to a scalar-granularity gather —
+            # ~1.2 s of the Waymo batch-1 two-stage inference (r5 nognn
+            # ablation) for what is ~100 MB of actual data movement.
             nbr = jnp.take_along_axis(
-                x[:, :, None, :].repeat(k, axis=2),
-                idx[..., None].repeat(x.shape[-1], axis=-1), axis=1)
+                x, idx.reshape(g, kpts * k)[..., None], axis=1
+            ).reshape(g, kpts, k, x.shape[-1])
             center = x[:, :, None, :]
             edge = jnp.concatenate([nbr - center, jnp.broadcast_to(center, nbr.shape)],
                                    axis=-1)  # (G, K, k, 2C)

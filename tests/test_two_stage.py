@@ -212,10 +212,12 @@ def test_mae_pretrain_to_detect_handoff(tmp_path):
 
 
 def test_dvs_fps_pre_cap_equivalence():
-    """The (M, pre_cap) candidate compaction is exact whenever every box
-    holds fewer than pre_cap member points — same DVS voxel set, same FPS
-    draw, same wrap-repeat — so the capped sort (the Waymo batch-1 fix:
-    ~5.4 s -> ms for the (500, 163k) argsort) changes nothing."""
+    """The chunked (M, pre_cap) candidate compaction is exact whenever each
+    box's AABB overlaps at most pre_cap/128 point chunks — same DVS voxel
+    set, same FPS draw, same wrap-repeat — so the capped pipeline (the
+    Waymo batch-1 fix: ~5.4 s -> ms at (500 roi, 163k pt)) changes
+    nothing.  Points are raster-sorted by BEV cell like the pipeline feeds
+    them (DynVFE always pillar-sorts before the RoI head)."""
     import numpy as np
     import jax.numpy as jnp
     from gdmae_tpu.ops import pointnet
@@ -223,16 +225,37 @@ def test_dvs_fps_pre_cap_equivalence():
     rng = np.random.RandomState(0)
     n, m = 4096, 24
     pts = rng.uniform([-20, -20, -2], [20, 20, 2], (n, 3)).astype(np.float32)
+    # raster-sort by 0.32 m BEV cell (the order DynVFE emits)
+    cell = (np.floor((pts[:, 1] + 20) / 0.32).astype(np.int64) * 4096
+            + np.floor((pts[:, 0] + 20) / 0.32).astype(np.int64))
+    pts = pts[np.argsort(cell, kind="stable")]
     valid = np.ones(n, bool)
     valid[-300:] = False
     boxes = np.zeros((m, 7), np.float32)
     boxes[:, :3] = rng.uniform([-15, -15, -1], [15, 15, 1], (m, 3))
-    boxes[:, 3:6] = rng.uniform(1.5, 6.0, (m, 3))
+    boxes[:, 3:6] = rng.uniform(1.5, 4.0, (m, 3))
     boxes[:, 6] = rng.uniform(-np.pi, np.pi, m)
+
+    pre_cap = 2048  # 16 chunks of 128
+    # precondition: every box's AABB overlaps at most pre_cap/128 chunks
+    # (guaranteed by construction on raster-sorted points; assert so the
+    # equality claim below is meaningful)
+    pc3 = pts.reshape(-1, 128, 3)
+    vr = valid.reshape(-1, 128)
+    cmin = np.where(vr[..., None], pc3, 1e30).min(1)
+    cmax = np.where(vr[..., None], pc3, -1e30).max(1)
+    half = boxes[:, 3:6] / 2
+    c, s = np.cos(boxes[:, 6]), np.sin(boxes[:, 6])
+    bh = np.stack([np.abs(c) * half[:, 0] + np.abs(s) * half[:, 1],
+                   np.abs(s) * half[:, 0] + np.abs(c) * half[:, 1],
+                   half[:, 2]], -1)
+    ov = np.all((boxes[:, None, :3] - bh[:, None] <= cmax[None])
+                & (cmin[None] <= boxes[:, None, :3] + bh[:, None]), -1)
+    assert ov.sum(1).max() <= pre_cap // 128, ov.sum(1).max()
 
     args = (jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(boxes), 64, 16)
     idx_full, cnt_full = pointnet.dvs_fps_sample(*args, pre_cap=n)
-    idx_cap, cnt_cap = pointnet.dvs_fps_sample(*args, pre_cap=512)
+    idx_cap, cnt_cap = pointnet.dvs_fps_sample(*args, pre_cap=pre_cap)
     np.testing.assert_array_equal(np.asarray(cnt_full), np.asarray(cnt_cap))
     np.testing.assert_array_equal(np.asarray(idx_full), np.asarray(idx_cap))
     assert int(np.asarray(cnt_full).max()) > 0

@@ -74,9 +74,14 @@ def main():
             wcap_pts, drop_specs=wdrop_specs, geom=WAYMO_GEOM)]
     if os.environ.get("GDMAE_BENCH_WAYMO_MODE", "joint") == "joint":
         wb3d.TPU_WINDOW_MODE = "joint"
+        # dense NFD packing by default (TPU_JOINT_PACK, r5: 139.4 ->
+        # 124.5 ms at the KITTI workload); budgets re-derived per layout
+        pack = os.environ.get("GDMAE_BENCH_PACK_MODE",
+                              wb3d.get("TPU_JOINT_PACK", "dense"))
+        wb3d.TPU_JOINT_PACK = pack
         wb3d.TPU_JOINT_BUDGETS = joint_budgets_for(
-            wcap_pts, drop_specs=wdrop_specs, geom=WAYMO_GEOM)
-        print(f"waymo joint budgets: {wb3d.TPU_JOINT_BUDGETS}",
+            wcap_pts, drop_specs=wdrop_specs, geom=WAYMO_GEOM, pack=pack)
+        print(f"waymo joint budgets ({pack}): {wb3d.TPU_JOINT_BUDGETS}",
               file=sys.stderr, flush=True)
     wremat_env = os.environ.get("GDMAE_BENCH_WAYMO_REMAT")
     if wremat_env is not None:
