@@ -85,9 +85,17 @@ def main():
     if os.environ.get("GDMAE_BENCH_MODE", "joint") == "joint":
         from tools.bench_common import joint_budgets_for
         cfg.MODEL.BACKBONE_3D.TPU_WINDOW_MODE = "joint"
+        # budgets must be derived for the configured stream layout
+        # (TPU_JOINT_PACK: dense needs ~18% less than pow2 — deriving with
+        # the wrong packing silently pads every stage)
+        pack = os.environ.get(
+            "GDMAE_BENCH_PACK_MODE",
+            cfg.MODEL.BACKBONE_3D.get("TPU_JOINT_PACK", "pow2"))
+        cfg.MODEL.BACKBONE_3D.TPU_JOINT_PACK = pack
         cfg.MODEL.BACKBONE_3D.TPU_JOINT_BUDGETS = joint_budgets_for(
-            cap_pts, drop_specs=drop_specs)
-        print(f"joint budgets: {cfg.MODEL.BACKBONE_3D.TPU_JOINT_BUDGETS}",
+            cap_pts, drop_specs=drop_specs, pack=pack)
+        print(f"joint budgets ({pack}): "
+              f"{cfg.MODEL.BACKBONE_3D.TPU_JOINT_BUDGETS}",
               file=sys.stderr, flush=True)
     if os.environ.get("GDMAE_BENCH_FUSED", "0") != "0":
         cfg.MODEL.BACKBONE_3D.TPU_FUSED_LAYER = True
@@ -377,6 +385,7 @@ def main():
                # Padding matches the headline bench workload.
                "--set", "MODEL.BACKBONE_3D.TPU_HOST_MAE_TARGETS", "False",
                "MODEL.BACKBONE_3D.TPU_HOST_WINDOW_PLANS", "False",
+               "MODEL.VFE.TPU_HOST_VFE", "False",
                "DATA_CONFIG.TPU_PADDING.MAX_POINTS", "16384",
                "DATA_CONFIG.TPU_PADDING.MAX_PILLARS", "8192"]
         try:

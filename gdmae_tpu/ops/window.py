@@ -888,13 +888,40 @@ def _joint_plan_single(occ_flat, grid_hw, window, shift, drop_specs, budget,
     if dense_pack:
         # next-fit over the descending sizes with 128-block alignment: a
         # window that would straddle an attention block starts the next
-        # block instead (the wid mask only sees within-block equality)
-        def _nfd_step(cur, t):
-            bump = (cur % 128) + t > 128
-            start = jnp.where(bump, (cur // 128 + 1) * 128, cur)
-            return start + t, start
-        _, off = jax.lax.scan(
-            _nfd_step, jnp.zeros((), jnp.int32), sorted_t)
+        # block instead (the wid mask only sees within-block equality).
+        # Closed form per size run (the host twin's _nfd_offsets_np): a
+        # run of equal sizes s fills the current partial block with
+        # k0 = rem // s windows, then 128 // s per full block — one static
+        # pass over the <= tmax candidate sizes, no sequential scan (a
+        # per-window lax.scan would serialize ~G tiny steps per plan in
+        # the in-graph fallback path).
+        pos = jnp.arange(g, dtype=jnp.int32)
+
+        def _nfd_body(i, carry):
+            off, cur = carry
+            s_val = tmax - i  # sizes descending, matching the sort order
+            m_s = sorted_t == s_val
+            n_s = m_s.sum()
+            first = jnp.argmax(m_s).astype(jnp.int32)  # runs are contiguous
+            j = pos - first
+            rem = 128 - cur % 128
+            k0 = rem // s_val
+            kf = 128 // s_val
+            blk_next = (cur // 128 + 1) * 128
+            jj = j - k0
+            off_s = jnp.where(j < k0, cur + j * s_val,
+                              blk_next + (jj // kf) * 128 + (jj % kf) * s_val)
+            off = jnp.where(m_s, off_s, off)
+            jl = n_s - 1
+            jjl = jl - k0
+            last = jnp.where(jl < k0, cur + jl * s_val,
+                             blk_next + (jjl // kf) * 128 + (jjl % kf) * s_val)
+            cur = jnp.where(n_s > 0, last + s_val, cur)
+            return off, cur
+
+        off, _ = jax.lax.fori_loop(
+            0, tmax, _nfd_body,
+            (jnp.zeros((g,), jnp.int32), jnp.zeros((), jnp.int32)))
     else:
         off = jnp.cumsum(sorted_t) - sorted_t  # exclusive
     fits = (sorted_t > 0) & (off + sorted_t <= budget)

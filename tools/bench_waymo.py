@@ -116,7 +116,7 @@ def main():
             )
             wbatch.update({k: jnp.asarray(v) for k, v in
                            vfe_host_features_cfg(
-                               cfg.MODEL.VFE, wpts_h, wmask_h, tabs,
+                               wcfg.MODEL.VFE, wpts_h, wmask_h, tabs,
                                wmeta.point_cloud_range,
                                wmeta.voxel_size).items()})
     if os.environ.get("GDMAE_BENCH_HOST_GT", "1") != "0":
