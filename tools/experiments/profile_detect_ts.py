@@ -56,15 +56,28 @@ def main():
     )
 
     cfg = cfg_from_yaml_file(str(REPO / CFGS[which]))
-    meta = DatasetMeta(
-        class_names=cfg.CLASS_NAMES,
-        point_cloud_range=cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
-        voxel_size=[0.32, 0.32, 6.0],
-        grid_size=[468, 468],
-        num_point_features=4,
-        max_points=163840,
-        max_pillars=32768,
-    )
+    if which == "ce":
+        # graph_rcnn_ce is the 3D voxel-res pipeline (0.1 m voxels,
+        # VoxelResBackBone8x on the capacity-bounded sparse-3D ops)
+        meta = DatasetMeta(
+            class_names=cfg.CLASS_NAMES,
+            point_cloud_range=cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
+            voxel_size=[0.1, 0.1, 0.15],
+            grid_size=[1504, 1504, 40],
+            num_point_features=4,
+            max_points=163840,
+            max_pillars=int(os.environ.get("GDMAE_CE_VOXEL_CAP", "65536")),
+        )
+    else:
+        meta = DatasetMeta(
+            class_names=cfg.CLASS_NAMES,
+            point_cloud_range=cfg.DATA_CONFIG.POINT_CLOUD_RANGE,
+            voxel_size=[0.32, 0.32, 6.0],
+            grid_size=[468, 468],
+            num_point_features=4,
+            max_points=163840,
+            max_pillars=32768,
+        )
     cap_pts = synth_scan_waymo(np.random.RandomState(0), 2, meta.max_points)
     if cfg.MODEL.get("BACKBONE_3D", {}).get("NAME") == "SPTBackbone":
         cfg.MODEL.BACKBONE_3D.TPU_WINDOW_CAPS = [
